@@ -1,0 +1,186 @@
+"""Shading: texture sampling, Phong, BRDF-NEE term, sampling routines.
+
+Reproduces the reference shading model (/root/reference/orion/material.hpp):
+  - `phong_color`        <- Material::color (textured, material.hpp:72-93)
+  - `color_brdf`         <- Material::colorBRDF (material.hpp:95-105),
+                            including its 1/(1+d^2) falloff and two-cosine
+                            geometry factor (the oracle uses the same
+                            estimator, so images agree by construction)
+  - `reflect`            <- math.hpp:321-323
+  - `cosine_sample`      <- raytracer.cpp:173-192, with the tangent frame
+                            NORMALIZED (the reference leaves tangent/bitangent
+                            unnormalized, squashing the distribution —
+                            documented deviation, see PARITY.md)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orion_tpu.scene import Scene
+
+
+def reflect(v: jax.Array, n: jax.Array) -> jax.Array:
+    """r = v - 2*dot(v,n)*n, rowwise over [..., 3]."""
+    return v - 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n
+
+
+def normalize(v: jax.Array, eps: float = 1e-20) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def sample_texture(scene: Scene, map_idx: jax.Array, uv: jax.Array,
+                   solid: jax.Array) -> jax.Array:
+    """Nearest-neighbor texture lookup with wraparound; falls back to `solid`.
+
+    map_idx: [N] int32 image index, -1 = solid color.
+    uv: [N, 2]; solid: [N, 3].
+
+    Matches Texture::color (texture.hpp:72-86) but with a correct
+    floored-modulo wrap on both axes (the reference wraps negative v with
+    `height + ui` — a bug we fix; PARITY.md).
+    """
+    img = jnp.maximum(map_idx, 0)
+    hw = scene.tex_hw[img]  # [N, 2]
+    h = hw[:, 0]
+    w = hw[:, 1]
+    ui = jnp.mod(jnp.floor(uv[:, 0] * w.astype(uv.dtype)).astype(jnp.int32), w)
+    vi = jnp.mod(jnp.floor(uv[:, 1] * h.astype(uv.dtype)).astype(jnp.int32), h)
+    texel = scene.tex_stack[img, vi, ui]  # [N, 3]
+    return jnp.where((map_idx >= 0)[:, None], texel, solid)
+
+
+def diffuse_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
+    return sample_texture(scene, scene.mat_map_diffuse[mat_id], uv,
+                          scene.mat_diffuse[mat_id])
+
+
+def specular_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
+    return sample_texture(scene, scene.mat_map_specular[mat_id], uv,
+                          scene.mat_specular[mat_id])
+
+
+def ambient_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
+    # the reference never installs an ambient image (model.cpp:153 loads it
+    # into a dead variable), so ambient is always the solid Ka
+    del uv
+    return scene.mat_ambient[mat_id]
+
+
+def emissive_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
+    # likewise emissive is always the solid Ke
+    del uv
+    return scene.mat_emissive[mat_id]
+
+
+def phong_color(scene: Scene, mat_id: jax.Array, uv: jax.Array,
+                ray_dir: jax.Array, normal: jax.Array, hit_point: jax.Array,
+                light_pos: jax.Array, light_color: jax.Array,
+                light_intensity: jax.Array) -> jax.Array:
+    """Textured Phong: light.color*(ambient + diff*Kd + spec*Ks)*intensity/d^2.
+
+    Matches Material::color (material.hpp:72-93); `normal` must be normalized.
+    """
+    to_light = light_pos - hit_point
+    d2 = jnp.sum(to_light * to_light, axis=-1)
+    light_dir = normalize(to_light)
+
+    ambient = ambient_color(scene, mat_id, uv)
+
+    ndotl = jnp.maximum(jnp.sum(normal * light_dir, axis=-1), 0.0)
+    diffuse = ndotl[:, None] * diffuse_color(scene, mat_id, uv)
+
+    view_dir = normalize(-ray_dir)
+    reflect_dir = reflect(-light_dir, normal)
+    spec_cos = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
+    shininess = scene.mat_shininess[mat_id]
+    # pow(0, 0) guard: jnp.power(0., 0.) == 1 like C++ powf
+    spec = 0.5 * jnp.power(spec_cos, shininess)
+    specular = spec[:, None] * specular_color(scene, mat_id, uv)
+
+    return (light_color * (ambient + diffuse + specular)
+            * (light_intensity / jnp.maximum(d2, 1e-20))[:, None])
+
+
+def color_brdf(scene: Scene, mat_id: jax.Array, uv: jax.Array,
+               normal: jax.Array, hit_point: jax.Array,
+               light_pos: jax.Array, light_color: jax.Array,
+               light_intensity: jax.Array, light_normal: jax.Array) -> jax.Array:
+    """NEE diffuse term: Ke * Kd * max(cos_s * cos_l, 0) * intensity / (1+d^2).
+
+    Matches Material::colorBRDF (material.hpp:95-105) exactly, including the
+    reference's (non-physical but self-consistent) 1/(1+d^2) falloff and the
+    clamp applied to the *product* of cosines.
+    """
+    to_light = light_pos - hit_point
+    d2 = jnp.sum(to_light * to_light, axis=-1)
+    light_dir = normalize(to_light)
+    cos_s = jnp.sum(normal * light_dir, axis=-1)
+    cos_l = jnp.sum(light_normal * (-light_dir), axis=-1)
+    geom = jnp.maximum(cos_s * cos_l, 0.0)
+    kd = diffuse_color(scene, mat_id, uv)
+    return light_color * kd * (geom * light_intensity / (1.0 + d2))[:, None]
+
+
+def cosine_sample(normal: jax.Array, u1: jax.Array, u2: jax.Array,
+                  reference_frame: bool = False) -> jax.Array:
+    """Cosine-weighted hemisphere sample around `normal` (normalized [N,3]).
+
+    sin_theta = sqrt(u1), psi = 2*pi*u2 (raytracer.cpp:173-192). The tangent
+    frame follows the reference's construction — tangent = cross(n, (0,1,0)),
+    falling back to cross(n, (0,0,1)) when degenerate — but normalized by
+    default. Pass reference_frame=True to reproduce the reference's
+    unnormalized (squashed) frame bit-for-bit.
+    """
+    sin_theta = jnp.sqrt(u1)
+    cos_theta = jnp.sqrt(jnp.maximum(1.0 - sin_theta * sin_theta, 0.0))
+    psi = u2 * (2.0 * jnp.pi)
+
+    up_y = jnp.array([0.0, 1.0, 0.0], normal.dtype)
+    up_z = jnp.array([0.0, 0.0, 1.0], normal.dtype)
+    tangent = jnp.cross(normal, up_y)
+    degenerate = jnp.sum(tangent * tangent, axis=-1, keepdims=True) == 0.0
+    tangent = jnp.where(degenerate, jnp.cross(normal, up_z), tangent)
+    bitangent = jnp.cross(normal, tangent)
+    if not reference_frame:
+        tangent = normalize(tangent)
+        bitangent = normalize(bitangent)
+
+    a = (sin_theta * jnp.cos(psi))[:, None]
+    b = (sin_theta * jnp.sin(psi))[:, None]
+    c = cos_theta[:, None]
+    return a * tangent + b * bitangent + c * normal
+
+
+def sample_mesh_point(scene: Scene, mesh_id: int, u_tri: jax.Array,
+                      u_a: jax.Array, u_b: jax.Array):
+    """Uniform-by-count random point on mesh `mesh_id` (static int).
+
+    Mirrors TracedMesh::randomPointOnSurface (mesh.hpp:178-184) +
+    Triangle::randomPointOnSurface (geometry.hpp:159-171): pick a triangle
+    uniformly by index, fold the parallelogram sample, and return the point,
+    the light-sample weight (`bias * meshArea` = triArea * triCount, which is
+    what the reference feeds NEE as light intensity, raytracer.cpp:150-155),
+    and the sampled triangle's global id.
+
+    u_tri/u_a/u_b: [N] uniforms. Areas use the corrected formula (PARITY.md).
+    """
+    start = scene.mesh_tri_start[mesh_id]
+    count = scene.mesh_tri_count[mesh_id]
+    tri_local = jnp.minimum((u_tri * count.astype(u_tri.dtype)).astype(jnp.int32),
+                            count - 1)
+    tri = start + tri_local
+
+    v0 = scene.tri_v0[tri]
+    e1 = scene.tri_e1[tri]
+    e2 = scene.tri_e2[tri]
+
+    flip = (u_a + u_b) > 1.0
+    a = jnp.where(flip, 1.0 - u_a, u_a)[:, None]
+    b = jnp.where(flip, 1.0 - u_b, u_b)[:, None]
+    point = v0 + a * e1 + b * e2
+
+    tri_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    weight = tri_area * count.astype(tri_area.dtype)  # == bias * meshArea
+    return point, weight, tri

@@ -1,0 +1,251 @@
+"""SoA scene representation — immutable arrays in HBM, registered as a pytree.
+
+This inverts the reference's object graph (TracedModel -> TracedMesh ->
+SBVH/Material, /root/reference/orion/model.hpp, mesh.hpp): instead of
+per-mesh objects with virtual dispatch, the whole scene is a flat
+structure-of-arrays over *triangles*, with integer tables mapping triangles
+to meshes and materials. Rendering is then a pure jittable function of
+(Scene, Camera, key).
+
+Conventions:
+  - Triangles are stored as (v0, e1, e2) like the reference
+    (geometry.hpp:64-69): e1 = v1 - v0, e2 = v2 - v0.
+  - Triangle arrays are padded to a multiple of `pad_to` lanes with
+    degenerate triangles (e1 = e2 = 0 => Möller-Trumbore det = 0 => no hit).
+  - Per-triangle surface areas use the correct 0.5*|cross(e1,e2)| formula —
+    deliberately fixing the reference's `abs(dot(e1,e2))*0.5` bug
+    (geometry.hpp:155-157); see PARITY.md.
+  - One material per mesh (mesh id == material id), matching how the
+    reference builds a TracedMesh per Assimp mesh (model.cpp:69-193).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from orion_tpu.io.image import load_texture
+from orion_tpu.io.obj import ObjScene, load_obj
+from orion_tpu.io.rtc import RTCData, parse_rtc
+
+LANE = 128  # TPU lane width; default triangle padding granularity
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Flat SoA scene. All fields are arrays (pytree leaves) unless marked static.
+
+    Shapes: T = padded triangle count, Nm = mesh count, M = material count
+    (== Nm), E = emissive mesh count (>= 1 slot), L = point light count
+    (>= 1 slot), I = texture image count (>= 1 slot).
+    """
+
+    # geometry (differentiable)
+    tri_v0: jax.Array  # [T, 3]
+    tri_e1: jax.Array  # [T, 3]
+    tri_e2: jax.Array  # [T, 3]
+    # per-corner shading attributes
+    n0: jax.Array  # [T, 3]
+    n1: jax.Array  # [T, 3]
+    n2: jax.Array  # [T, 3]
+    uv0: jax.Array  # [T, 2]
+    uv1: jax.Array  # [T, 2]
+    uv2: jax.Array  # [T, 2]
+    # topology tables
+    tri_mat: jax.Array   # [T] int32, material (== mesh) id; padding rows -> 0
+    tri_valid: jax.Array  # [T] bool, False on padding rows
+    mesh_tri_start: jax.Array  # [Nm] int32 (unpadded triangle index space)
+    mesh_tri_count: jax.Array  # [Nm] int32
+    mesh_area: jax.Array       # [Nm] float32 (correct areas)
+    # materials (differentiable)
+    mat_ambient: jax.Array    # [M, 3]
+    mat_diffuse: jax.Array    # [M, 3]
+    mat_specular: jax.Array   # [M, 3]
+    mat_emissive: jax.Array   # [M, 3]
+    mat_shininess: jax.Array  # [M]
+    mat_opacity: jax.Array    # [M]
+    # texture maps: -1 = use solid color
+    mat_map_diffuse: jax.Array   # [M] int32
+    mat_map_specular: jax.Array  # [M] int32
+    tex_stack: jax.Array  # [I, Hmax, Wmax, 3] float32
+    tex_hw: jax.Array     # [I, 2] int32 (h, w)
+    # emissive meshes (for NEE); padded with id -1
+    emissive_mesh_ids: jax.Array  # [E] int32
+    # point lights from the .rtc; padded with zero intensity
+    light_pos: jax.Array        # [L, 3]
+    light_color: jax.Array      # [L, 3]
+    light_intensity: jax.Array  # [L]
+
+    # static metadata (hashable; triggers recompile when changed)
+    num_triangles: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_meshes: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_emissive: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def padded_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+def _corner_vertices(mesh_positions: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    v0 = mesh_positions[:, 0, :]
+    e1 = mesh_positions[:, 1, :] - v0
+    e2 = mesh_positions[:, 2, :] - v0
+    return v0, e1, e2
+
+
+def triangle_areas(e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
+    """Correct triangle area: 0.5 * |e1 x e2| (fixes geometry.hpp:155-157)."""
+    return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+
+
+def build_scene(
+    obj: ObjScene,
+    rtc: Optional[RTCData] = None,
+    pad_to: int = LANE,
+    load_textures: bool = True,
+) -> Scene:
+    """Flatten an ObjScene (+ rtc lights) into a Scene SoA pytree."""
+    import jax.numpy as jnp
+
+    meshes = obj.meshes
+    if not meshes:
+        raise ValueError("scene has no meshes")
+
+    v0s, e1s, e2s, n0s, n1s, n2s, uv0s, uv1s, uv2s = [], [], [], [], [], [], [], [], []
+    tri_mat: List[np.ndarray] = []
+    mesh_tri_start, mesh_tri_count, mesh_area = [], [], []
+    emissive_ids = []
+
+    # texture registry (deduped by resolved path, like model.cpp:195-227)
+    tex_paths: List[str] = []
+    tex_images: List[np.ndarray] = []
+
+    def register_texture(rel_path: Optional[str]) -> int:
+        if not load_textures or rel_path is None:
+            return -1
+        p = obj.directory / rel_path
+        key = str(p)
+        if key in tex_paths:
+            return tex_paths.index(key)
+        if not p.exists():
+            return -1
+        tex_images.append(load_texture(p))
+        tex_paths.append(key)
+        return len(tex_paths) - 1
+
+    mat_rows = dict(ambient=[], diffuse=[], specular=[], emissive=[],
+                    shininess=[], opacity=[], map_diffuse=[], map_specular=[])
+
+    t_cursor = 0
+    for mesh_id, mesh in enumerate(meshes):
+        F = mesh.num_triangles
+        v0, e1, e2 = _corner_vertices(mesh.positions)
+        v0s.append(v0); e1s.append(e1); e2s.append(e2)
+        n0s.append(mesh.normals[:, 0]); n1s.append(mesh.normals[:, 1]); n2s.append(mesh.normals[:, 2])
+        uv0s.append(mesh.uvs[:, 0]); uv1s.append(mesh.uvs[:, 1]); uv2s.append(mesh.uvs[:, 2])
+        tri_mat.append(np.full(F, mesh_id, np.int32))
+        mesh_tri_start.append(t_cursor)
+        mesh_tri_count.append(F)
+        mesh_area.append(float(np.sum(triangle_areas(e1, e2))))
+        t_cursor += F
+
+        m = mesh.material
+        mat_rows["ambient"].append(m.ambient)
+        mat_rows["diffuse"].append(m.diffuse)
+        mat_rows["specular"].append(m.specular)
+        mat_rows["emissive"].append(m.emissive)
+        mat_rows["shininess"].append(m.shininess)
+        mat_rows["opacity"].append(m.opacity)
+        mat_rows["map_diffuse"].append(register_texture(m.map_diffuse))
+        mat_rows["map_specular"].append(register_texture(m.map_specular))
+        if m.is_emissive:
+            emissive_ids.append(mesh_id)
+
+    T = t_cursor
+    T_pad = max(_round_up(T, pad_to), pad_to)
+
+    def cat_pad(chunks, width):
+        arr = np.concatenate(chunks, axis=0).astype(np.float32).reshape(T, width)
+        out = np.zeros((T_pad, width), np.float32)
+        out[:T] = arr
+        return out
+
+    tri_mat_arr = np.zeros(T_pad, np.int32)
+    tri_mat_arr[:T] = np.concatenate(tri_mat)
+    tri_valid = np.zeros(T_pad, bool)
+    tri_valid[:T] = True
+
+    # texture stack (>= 1 slot so shapes stay static)
+    if tex_images:
+        hmax = max(t.shape[0] for t in tex_images)
+        wmax = max(t.shape[1] for t in tex_images)
+        stack = np.zeros((len(tex_images), hmax, wmax, 3), np.float32)
+        hw = np.zeros((len(tex_images), 2), np.int32)
+        for i, t in enumerate(tex_images):
+            stack[i, : t.shape[0], : t.shape[1]] = t
+            hw[i] = (t.shape[0], t.shape[1])
+    else:
+        stack = np.zeros((1, 1, 1, 3), np.float32)
+        hw = np.ones((1, 2), np.int32)
+
+    num_emissive = len(emissive_ids)
+    em_ids = np.full(max(num_emissive, 1), -1, np.int32)
+    em_ids[:num_emissive] = emissive_ids
+
+    lights = rtc.lights if rtc is not None else []
+    num_lights = len(lights)
+    Lp = max(num_lights, 1)
+    light_pos = np.zeros((Lp, 3), np.float32)
+    light_color = np.zeros((Lp, 3), np.float32)
+    light_intensity = np.zeros(Lp, np.float32)
+    for i, l in enumerate(lights):
+        light_pos[i] = l.position
+        light_color[i] = l.color
+        light_intensity[i] = l.intensity
+
+    jarr = jnp.asarray
+    return Scene(
+        tri_v0=jarr(cat_pad(v0s, 3)), tri_e1=jarr(cat_pad(e1s, 3)), tri_e2=jarr(cat_pad(e2s, 3)),
+        n0=jarr(cat_pad(n0s, 3)), n1=jarr(cat_pad(n1s, 3)), n2=jarr(cat_pad(n2s, 3)),
+        uv0=jarr(cat_pad(uv0s, 2)), uv1=jarr(cat_pad(uv1s, 2)), uv2=jarr(cat_pad(uv2s, 2)),
+        tri_mat=jarr(tri_mat_arr), tri_valid=jarr(tri_valid),
+        mesh_tri_start=jarr(np.array(mesh_tri_start, np.int32)),
+        mesh_tri_count=jarr(np.array(mesh_tri_count, np.int32)),
+        mesh_area=jarr(np.array(mesh_area, np.float32)),
+        mat_ambient=jarr(np.stack(mat_rows["ambient"]).astype(np.float32)),
+        mat_diffuse=jarr(np.stack(mat_rows["diffuse"]).astype(np.float32)),
+        mat_specular=jarr(np.stack(mat_rows["specular"]).astype(np.float32)),
+        mat_emissive=jarr(np.stack(mat_rows["emissive"]).astype(np.float32)),
+        mat_shininess=jarr(np.array(mat_rows["shininess"], np.float32)),
+        mat_opacity=jarr(np.array(mat_rows["opacity"], np.float32)),
+        mat_map_diffuse=jarr(np.array(mat_rows["map_diffuse"], np.int32)),
+        mat_map_specular=jarr(np.array(mat_rows["map_specular"], np.int32)),
+        tex_stack=jarr(stack), tex_hw=jarr(hw),
+        emissive_mesh_ids=jarr(em_ids),
+        light_pos=jarr(light_pos), light_color=jarr(light_color),
+        light_intensity=jarr(light_intensity),
+        num_triangles=T, num_meshes=len(meshes),
+        num_emissive=num_emissive, num_lights=num_lights,
+    )
+
+
+def load_scene(rtc_path: str | Path, pad_to: int = LANE,
+               load_textures: bool = True) -> Tuple[Scene, RTCData]:
+    """Parse an .rtc file and load its OBJ scene (traceRTC's setup phase,
+    raytracer.cpp:19-41)."""
+    rtc_path = Path(rtc_path)
+    rtc = parse_rtc(rtc_path)
+    obj_path = rtc_path.parent / rtc.obj_file
+    obj = load_obj(obj_path)
+    scene = build_scene(obj, rtc, pad_to=pad_to, load_textures=load_textures)
+    return scene, rtc
