@@ -107,7 +107,10 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
     p_continue = jnp.max(kd, axis=-1)
     u_rr = jax.random.uniform(k_rr, p_continue.shape)
     continue_mask = hit_mask & (depth < max_depth) & (u_rr <= p_continue)
-    rr_scale = jnp.where(p_continue > 0.0, 1.0 / jnp.maximum(p_continue, 1e-20), 0.0)
+    # double-where so the dead branch contributes a finite cotangent
+    # (1/p^2 at p~0 overflows f32 and NaNs the max-gradient otherwise)
+    safe_p = jnp.where(p_continue > 0.0, p_continue, 1.0)
+    rr_scale = jnp.where(p_continue > 0.0, 1.0 / safe_p, 0.0)
 
     # cosine-weighted bounce (raytracer.cpp:173-194)
     u = jax.random.uniform(k_dir, (2,) + p_continue.shape)
