@@ -52,23 +52,39 @@ def mt_test(orig, dirs, v0, e1, e2, valid):
     """Dense Möller-Trumbore: rays [N,3] against triangles [T,3].
 
     Returns t_masked [N,T] with +inf where no (valid) intersection.
-    All ops are elementwise over an [N,T,3] broadcast — XLA fuses the chain
-    into VPU code without materializing intermediates where it can.
-    """
-    o = orig[:, None, :]
-    d = dirs[:, None, :]
-    v0 = v0[None, :, :]
-    e1 = e1[None, :, :]
-    e2 = e2[None, :, :]
 
-    pvec = _cross(d, e2)                      # [N,T,3]
-    det = jnp.sum(e1 * pvec, axis=-1)         # [N,T]
+    TPU layout note: every intermediate is an [N, T] plane built from [N, 1]
+    ray components and [1, T] triangle components — the lane dimension stays
+    on triangles (T is padded to 128) and the 3-vector structure is unrolled
+    into scalar component planes. An [N, T, 3] formulation would put the
+    3-wide axis on the 128-lane dimension (42x padding waste); this SoA form
+    is the TPU analogue of the reference's AVX SoA packets
+    (avx/geometry.hpp:86-142), with XLA fusing the whole chain into one
+    VPU pass over [N, T].
+    """
+    ox, oy, oz = (orig[:, i, None] for i in range(3))
+    dx, dy, dz = (dirs[:, i, None] for i in range(3))
+    v0x, v0y, v0z = (v0[None, :, i] for i in range(3))
+    e1x, e1y, e1z = (e1[None, :, i] for i in range(3))
+    e2x, e2y, e2z = (e2[None, :, i] for i in range(3))
+
+    # pvec = cross(d, e2)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz          # [N,T]
     inv_det = 1.0 / det
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = _cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[..., 0:3] * qvec, axis=-1) * inv_det
+    # tvec = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = cross(tvec, e1)
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
     ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
         & (u + v <= 1.0) & (t >= 0.0) & valid[None, :]
@@ -113,6 +129,32 @@ def intersect_brute(scene: Scene, orig: jax.Array, dirs: jax.Array,
     return Hit(t=t.reshape(-1)[:N], tri_id=tri_id.reshape(-1)[:N])
 
 
+# Largest table height for which row lookup is done as a one-hot matmul on
+# the MXU instead of a gather. TPU gathers of [N] rows are HBM-latency bound
+# (~5 GB/s effective measured); a [N,T]x[T,C] one-hot matmul runs at MXU
+# speed and XLA fuses the one-hot construction into the dot.
+ONE_HOT_MAX_ROWS = 2048
+
+
+def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] for a [T, C] (or [T]) table and [N] int32 indices.
+
+    Uses a one-hot MXU matmul for small tables (differentiable w.r.t. table,
+    like the gather it replaces — the transpose matmul scatters cotangents),
+    falling back to a plain gather for tall tables.
+    """
+    squeeze = table.ndim == 1
+    tab2 = table[:, None] if squeeze else table
+    T = tab2.shape[0]
+    if T <= ONE_HOT_MAX_ROWS and jnp.issubdtype(tab2.dtype, jnp.floating):
+        one_hot = jax.nn.one_hot(idx, T, dtype=tab2.dtype)
+        out = jnp.dot(one_hot, tab2, preferred_element_type=tab2.dtype)
+    else:
+        out = tab2[idx]
+    return out[:, 0] if squeeze else out
+
+
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HitAttrs:
     """Differentiable per-ray hit attributes (garbage where hit.mask is False)."""
@@ -136,9 +178,18 @@ def hit_attributes(scene: Scene, orig: jax.Array, dirs: jax.Array,
     interpolants) to the ray — with the discrete tri_id held fixed.
     """
     idx = jnp.maximum(hit.tri_id, 0)
-    v0 = scene.tri_v0[idx]
-    e1 = scene.tri_e1[idx]
-    e2 = scene.tri_e2[idx]
+    # one fused row lookup over every per-triangle attribute (one-hot matmul
+    # on the MXU for small scenes; gather for tall tables) — see take_rows
+    table = jnp.concatenate(
+        [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+         scene.n0, scene.n1, scene.n2,
+         scene.uv0, scene.uv1, scene.uv2,
+         scene.tri_mat.astype(jnp.float32)[:, None]], axis=1)
+    rows = take_rows(table, idx)
+    v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    rn0, rn1, rn2 = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
+    ruv0, ruv1, ruv2 = rows[:, 18:20], rows[:, 20:22], rows[:, 22:24]
+    mat_id = rows[:, 24].astype(jnp.int32)
 
     pvec = _cross(dirs, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
@@ -154,10 +205,9 @@ def hit_attributes(scene: Scene, orig: jax.Array, dirs: jax.Array,
     g_n = _cross(e1, e2)
     g_n = g_n / jnp.maximum(jnp.linalg.norm(g_n, axis=-1, keepdims=True), 1e-20)
     w = (1.0 - u - v)[:, None]
-    s_n = w * scene.n0[idx] + u[:, None] * scene.n1[idx] + v[:, None] * scene.n2[idx]
+    s_n = w * rn0 + u[:, None] * rn1 + v[:, None] * rn2
     s_n = s_n / jnp.maximum(jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20)
-    uv = w * scene.uv0[idx] + u[:, None] * scene.uv1[idx] + v[:, None] * scene.uv2[idx]
+    uv = w * ruv0 + u[:, None] * ruv1 + v[:, None] * ruv2
 
     return HitAttrs(t=t, u=u, v=v, point=point, g_normal=g_n, s_normal=s_n,
-                    uv=uv, mat_id=scene.tri_mat[idx],
-                    mesh_id=scene.tri_mat[idx])
+                    uv=uv, mat_id=mat_id, mesh_id=mat_id)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from orion_tpu.ops.intersect import take_rows
 from orion_tpu.scene import Scene
 
 
@@ -53,25 +54,25 @@ def sample_texture(scene: Scene, map_idx: jax.Array, uv: jax.Array,
 
 def diffuse_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
     return sample_texture(scene, scene.mat_map_diffuse[mat_id], uv,
-                          scene.mat_diffuse[mat_id])
+                          take_rows(scene.mat_diffuse, mat_id))
 
 
 def specular_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
     return sample_texture(scene, scene.mat_map_specular[mat_id], uv,
-                          scene.mat_specular[mat_id])
+                          take_rows(scene.mat_specular, mat_id))
 
 
 def ambient_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
     # the reference never installs an ambient image (model.cpp:153 loads it
     # into a dead variable), so ambient is always the solid Ka
     del uv
-    return scene.mat_ambient[mat_id]
+    return take_rows(scene.mat_ambient, mat_id)
 
 
 def emissive_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
     # likewise emissive is always the solid Ke
     del uv
-    return scene.mat_emissive[mat_id]
+    return take_rows(scene.mat_emissive, mat_id)
 
 
 def phong_color(scene: Scene, mat_id: jax.Array, uv: jax.Array,
@@ -94,7 +95,7 @@ def phong_color(scene: Scene, mat_id: jax.Array, uv: jax.Array,
     view_dir = normalize(-ray_dir)
     reflect_dir = reflect(-light_dir, normal)
     spec_cos = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
-    shininess = scene.mat_shininess[mat_id]
+    shininess = take_rows(scene.mat_shininess, mat_id)
     # pow(0, 0) guard: jnp.power(0., 0.) == 1 like C++ powf
     spec = 0.5 * jnp.power(spec_cos, shininess)
     specular = spec[:, None] * specular_color(scene, mat_id, uv)

@@ -36,6 +36,21 @@ BIAS = 1e-3
 IntersectFn = Callable[[Scene, jax.Array, jax.Array], Hit]
 
 
+def default_intersect() -> IntersectFn:
+    """Best single-chip intersection backend for the current JAX backend.
+
+    TPU gets the fused Pallas MT sweep (ops/pallas_intersect.py); other
+    backends (CPU tests, the virtual multi-chip mesh) get the jnp brute
+    force. Both share the Hit contract and the differentiable
+    `hit_attributes` recompute, so the choice is purely a performance one.
+    """
+    if jax.default_backend() == "tpu":
+        from orion_tpu.ops.pallas_intersect import intersect_brute_pallas
+
+        return intersect_brute_pallas
+    return intersect_brute
+
+
 def _emissive_primary_term(scene: Scene, attrs, dirs, depth):
     """depth-0 emitter visibility: Ke * meshArea * dot(normalize(dir), -normal).
 
@@ -173,7 +188,7 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
 def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     key: jax.Array, *, max_depth: int, light_samples: int = 2,
                     mode: Optional[str] = None,
-                    intersect: IntersectFn = intersect_brute,
+                    intersect: Optional[IntersectFn] = None,
                     reference_frame: bool = False) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
@@ -182,6 +197,8 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     """
     if mode is None:
         mode = "whitted" if scene.num_lights > 0 else "path"
+    if intersect is None:
+        intersect = default_intersect()
     N = orig.shape[0]
     throughput = jnp.ones((N, 3), jnp.float32)
     alive = jnp.ones((N,), bool)
@@ -208,7 +225,7 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
-           intersect: IntersectFn = intersect_brute,
+           intersect: Optional[IntersectFn] = None,
            reference_frame: bool = False,
            shared_jitter: bool = True) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
