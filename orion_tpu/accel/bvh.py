@@ -1,0 +1,300 @@
+"""Host-side BVH build (NumPy) + flattened skip-pointer layout for TPU traversal.
+
+Re-designs the reference's per-mesh SBVH (/root/reference/orion/avx/sbvh.cpp)
+TPU-first:
+
+  - ONE global BVH over every triangle in the scene, instead of the
+    reference's per-mesh trees behind a linear mesh scan (model.hpp:52-62) —
+    on TPU the whole scene is a flat SoA array, and a single tree means a
+    single traversal kernel invocation.
+  - Build runs on host in NumPy (data-dependent recursion can't live under
+    jit); the flattened tree is a static-shaped pytree input, so jit caches
+    per scene topology (SURVEY.md §7 "Host BVH build vs jit").
+  - Same three split strategies as the reference (avx/sbvh.cpp:115-235):
+    MEDIAN (nth_element on centroid), MIDDLE (spatial midpoint partition,
+    degenerate -> leaf), SAH (12 bucketed candidates, traverse cost ==
+    intersect cost). Splits are on the widest axis of the *centroid* bounds.
+  - Leaves are padded to a fixed bundle width (default 16) and their
+    triangles stored contiguously in traversal order — the TPU analogue of
+    the reference's 8-wide PackedTriangles padding (avx/geometry.hpp:49-56);
+    padding slots repeat a degenerate triangle (e1 = e2 = 0 => no hit).
+  - Flattening is depth-first with *skip pointers*: node i's subtree
+    occupies [i+1, skip[i]); on a missed AABB (or after a leaf) traversal
+    jumps to skip[i]. This gives a stackless, branch-free walk — unlike the
+    reference's recursive unordered two-child descent (avx/sbvh.cpp:36-83) —
+    and supports t-max pruning the reference lacks (AABB.hpp:79-99).
+
+Node array schema (M = node count, rounded up; all int32/float32):
+  node_lo, node_hi : [M, 3]   world AABB
+  node_skip        : [M]      next node index on miss / after leaf
+  node_start       : [M]      leaf: first bundled-triangle row; internal: -1
+  node_count       : [M]      leaf: bundle row count (multiple of bundle);
+                              internal: 0
+  tri_v0/e1/e2     : [B, 3]   leaf-bundled triangle copies (B = sum of
+                              padded leaf sizes)
+  tri_orig         : [B]      global scene triangle id per bundled row
+                              (-1 on padding rows)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+MEDIAN = "median"
+MIDDLE = "middle"
+SAH = "sah"
+
+DEFAULT_LEAF = 16
+SAH_BUCKETS = 12  # reference default (avx/sbvh.hpp:141)
+
+
+@dataclasses.dataclass
+class BuildStats:
+    nodes: int = 0
+    leaves: int = 0
+    max_depth: int = 0
+    padded_tris: int = 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    """Flattened BVH pytree (device arrays); see module docstring for schema."""
+
+    node_lo: jax.Array
+    node_hi: jax.Array
+    node_skip: jax.Array
+    node_start: jax.Array
+    node_count: jax.Array
+    tri_v0: jax.Array
+    tri_e1: jax.Array
+    tri_e2: jax.Array
+    tri_orig: jax.Array
+
+    num_nodes: int = dataclasses.field(metadata=dict(static=True), default=0)
+    leaf_width: int = dataclasses.field(metadata=dict(static=True), default=DEFAULT_LEAF)
+
+    @property
+    def num_bundled(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+class _Node:
+    __slots__ = ("lo", "hi", "left", "right", "tri_ids")
+
+    def __init__(self):
+        self.lo = None
+        self.hi = None
+        self.left = None
+        self.right = None
+        self.tri_ids = None  # leaf payload
+
+
+def _build_recursive(ids: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                     cen: np.ndarray, strategy: str, leaf_size: int,
+                     stats: BuildStats, depth: int) -> _Node:
+    node = _Node()
+    node.lo = lo[ids].min(axis=0)
+    node.hi = hi[ids].max(axis=0)
+    stats.nodes += 1
+    stats.max_depth = max(stats.max_depth, depth)
+
+    if len(ids) <= leaf_size:
+        node.tri_ids = ids
+        stats.leaves += 1
+        return node
+
+    c = cen[ids]
+    c_lo, c_hi = c.min(axis=0), c.max(axis=0)
+    extent = c_hi - c_lo
+    axis = int(np.argmax(extent))
+
+    if extent[axis] <= 0.0:
+        # all centroids coincide (reference MIDDLE degenerate case,
+        # avx/sbvh.cpp:160-164); an arbitrary even split keeps every leaf
+        # within one bundle (traversal relies on count == leaf_width)
+        mid = len(ids) // 2
+        l_ids, r_ids = ids[:mid], ids[mid:]
+        node.left = _build_recursive(l_ids, lo, hi, cen, strategy, leaf_size,
+                                     stats, depth + 1)
+        node.right = _build_recursive(r_ids, lo, hi, cen, strategy, leaf_size,
+                                      stats, depth + 1)
+        return node
+
+    if strategy == MEDIAN:
+        mid = len(ids) // 2
+        part = np.argpartition(c[:, axis], mid)
+        l_ids, r_ids = ids[part[:mid]], ids[part[mid:]]
+    elif strategy == MIDDLE:
+        pivot = 0.5 * (c_lo[axis] + c_hi[axis])
+        mask = c[:, axis] < pivot
+        l_ids, r_ids = ids[mask], ids[~mask]
+        if len(l_ids) == 0 or len(r_ids) == 0:
+            mid = len(ids) // 2
+            part = np.argpartition(c[:, axis], mid)
+            l_ids, r_ids = ids[part[:mid]], ids[part[mid:]]
+    elif strategy == SAH:
+        l_ids, r_ids = _sah_split(ids, lo, hi, c, axis, c_lo, c_hi, leaf_size)
+        if l_ids is not None and (len(l_ids) == 0 or len(r_ids) == 0):
+            l_ids = None
+        if l_ids is None:
+            if len(ids) <= leaf_size:  # split not worth it -> leaf
+                node.tri_ids = ids
+                stats.leaves += 1
+                return node
+            mid = len(ids) // 2       # forced even split: leaf must fit a bundle
+            part = np.argpartition(c[:, axis], mid)
+            l_ids, r_ids = ids[part[:mid]], ids[part[mid:]]
+    else:
+        raise ValueError(f"unknown BVH strategy {strategy!r}")
+
+    node.left = _build_recursive(l_ids, lo, hi, cen, strategy, leaf_size,
+                                 stats, depth + 1)
+    node.right = _build_recursive(r_ids, lo, hi, cen, strategy, leaf_size,
+                                  stats, depth + 1)
+    return node
+
+
+def _surface_area(lo: np.ndarray, hi: np.ndarray) -> float:
+    d = np.maximum(hi - lo, 0.0)
+    return float(2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0]))
+
+
+def _sah_split(ids, lo, hi, c, axis, c_lo, c_hi, leaf_size):
+    """Bucketed SAH sweep (avx/sbvh.cpp:170-232): SAH_BUCKETS candidates,
+    traverseCost == intersectCost == 1."""
+    n = len(ids)
+    t = (c[:, axis] - c_lo[axis]) / (c_hi[axis] - c_lo[axis])
+    bucket = np.minimum((t * SAH_BUCKETS).astype(np.int32), SAH_BUCKETS - 1)
+
+    counts = np.zeros(SAH_BUCKETS, np.int64)
+    b_lo = np.full((SAH_BUCKETS, 3), np.inf, np.float64)
+    b_hi = np.full((SAH_BUCKETS, 3), -np.inf, np.float64)
+    for b in range(SAH_BUCKETS):
+        m = bucket == b
+        counts[b] = m.sum()
+        if counts[b]:
+            b_lo[b] = lo[ids[m]].min(axis=0)
+            b_hi[b] = hi[ids[m]].max(axis=0)
+
+    best_cost, best_split = np.inf, -1
+    for split in range(1, SAH_BUCKETS):
+        nl = counts[:split].sum()
+        nr = counts[split:].sum()
+        if nl == 0 or nr == 0:
+            continue
+        sa_l = _surface_area(b_lo[:split].min(axis=0), b_hi[:split].max(axis=0))
+        sa_r = _surface_area(b_lo[split:].min(axis=0), b_hi[split:].max(axis=0))
+        cost = 1.0 + (nl * sa_l + nr * sa_r) / max(
+            _surface_area(lo[ids].min(axis=0), hi[ids].max(axis=0)), 1e-30)
+        if cost < best_cost:
+            best_cost, best_split = cost, split
+
+    # falling back to a leaf is only allowed when the leaf fits one bundle
+    if best_split < 0 or (best_cost >= n and n <= leaf_size):
+        return None, None
+    m = bucket < best_split
+    return ids[m], ids[~m]
+
+
+def _flatten(root: _Node, leaf_width: int):
+    """DFS flatten with skip pointers; leaves padded to leaf_width rows."""
+    node_lo: List[np.ndarray] = []
+    node_hi: List[np.ndarray] = []
+    node_skip: List[int] = []
+    node_start: List[int] = []
+    node_count: List[int] = []
+    bundled: List[np.ndarray] = []  # leaf triangle id rows (-1 padding)
+
+    def emit(node: _Node) -> int:
+        i = len(node_lo)
+        node_lo.append(node.lo)
+        node_hi.append(node.hi)
+        node_skip.append(-1)   # patched below
+        if node.tri_ids is not None:
+            n = len(node.tri_ids)
+            pad = (-n) % leaf_width
+            rows = np.concatenate([node.tri_ids,
+                                   np.full(pad, -1, np.int64)])
+            node_start.append(sum(len(b) for b in bundled))
+            node_count.append(len(rows))
+            bundled.append(rows)
+        else:
+            node_start.append(-1)
+            node_count.append(0)
+            emit(node.left)
+            emit(node.right)
+        node_skip[i] = len(node_lo)
+        return i
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        emit(root)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    order = np.concatenate(bundled) if bundled else np.zeros(0, np.int64)
+    return (np.asarray(node_lo, np.float32), np.asarray(node_hi, np.float32),
+            np.asarray(node_skip, np.int32), np.asarray(node_start, np.int32),
+            np.asarray(node_count, np.int32), order)
+
+
+def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
+              valid: Optional[np.ndarray] = None, *,
+              strategy: str = MEDIAN, leaf_size: int = DEFAULT_LEAF,
+              leaf_width: Optional[int] = None) -> Tuple[BVH, BuildStats]:
+    """Build a flattened BVH over (v0, e1, e2) triangles.
+
+    `valid` masks out padding rows of the scene arrays. Returns device-ready
+    BVH pytree + host build stats. Default MEDIAN matches the reference
+    default Strategy (avx/sbvh.hpp:141); leaf geometry is COPIED into
+    bundle order so the traversal reads contiguous slices.
+    """
+    import jax.numpy as jnp
+
+    if leaf_width is None:
+        leaf_width = leaf_size
+    assert leaf_size <= leaf_width, "a leaf must fit one bundle"
+    tri_v0 = np.asarray(tri_v0, np.float32)
+    tri_e1 = np.asarray(tri_e1, np.float32)
+    tri_e2 = np.asarray(tri_e2, np.float32)
+    T = tri_v0.shape[0]
+    if valid is None:
+        valid = np.ones(T, bool)
+    ids = np.nonzero(np.asarray(valid))[0]
+    if len(ids) == 0:
+        raise ValueError("BVH over zero valid triangles")
+
+    v1 = tri_v0 + tri_e1
+    v2 = tri_v0 + tri_e2
+    lo = np.minimum(np.minimum(tri_v0, v1), v2)
+    hi = np.maximum(np.maximum(tri_v0, v1), v2)
+    cen = 0.5 * (lo + hi)
+
+    stats = BuildStats()
+    root = _build_recursive(ids, lo, hi, cen, strategy, leaf_size, stats, 0)
+    n_lo, n_hi, n_skip, n_start, n_count, order = _flatten(root, leaf_width)
+
+    pad_rows = order < 0
+    safe = np.where(pad_rows, 0, order)
+    b_v0 = tri_v0[safe]
+    b_e1 = np.where(pad_rows[:, None], 0.0, tri_e1[safe])  # degenerate pad
+    b_e2 = np.where(pad_rows[:, None], 0.0, tri_e2[safe])
+    stats.padded_tris = len(order)
+
+    bvh = BVH(
+        node_lo=jnp.asarray(n_lo), node_hi=jnp.asarray(n_hi),
+        node_skip=jnp.asarray(n_skip), node_start=jnp.asarray(n_start),
+        node_count=jnp.asarray(n_count),
+        tri_v0=jnp.asarray(b_v0), tri_e1=jnp.asarray(b_e1),
+        tri_e2=jnp.asarray(b_e2),
+        tri_orig=jnp.asarray(np.where(pad_rows, -1, order).astype(np.int32)),
+        num_nodes=len(n_lo), leaf_width=leaf_width,
+    )
+    return bvh, stats
