@@ -1,0 +1,105 @@
+"""CLI entry point: render an .rtc scene to an image file.
+
+Mirrors the reference launcher's surface (/root/reference/orion/
+launcher.cpp:15-45): positional rtc file; -o/--output; -p pixel samples;
+-l shadow-ray (light) samples. The reference's --threads flag maps to
+nothing here — parallelism is the TPU chip (and --devices shards rays
+across a mesh when more than one device is available).
+
+Usage:
+    python -m orion_tpu.cli scene.rtc -o out.png -p 16 -l 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="orion_tpu",
+        description="TPU-native differentiable ray tracer "
+                    "(renders .rtc scene files)")
+    p.add_argument("rtc_file", help="Path to an .rtc file")
+    p.add_argument("--output", "-o", default="raytracer.png",
+                   help="Output image (.png/.ppm/.hdr; default %(default)s)")
+    p.add_argument("-p", dest="samples", type=int, default=1,
+                   help="Pixel samples (default %(default)s)")
+    p.add_argument("-l", dest="light_samples", type=int, default=1,
+                   help="Shadow-ray samples per light (default %(default)s)")
+    p.add_argument("--depth", type=int, default=None,
+                   help="Max bounce depth (default: rtc recursion level)")
+    p.add_argument("--mode", choices=["whitted", "path"], default=None,
+                   help="Force render mode (default: auto from rtc lights)")
+    p.add_argument("--backend", choices=["brute", "bvh"], default=None,
+                   help="Force intersection backend (default: auto by size)")
+    p.add_argument("--strategy", choices=["median", "middle", "sah"],
+                   default="sah", help="BVH split strategy")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--xres", type=int, default=None,
+                   help="Override rtc x resolution")
+    p.add_argument("--yres", type=int, default=None,
+                   help="Override rtc y resolution")
+    p.add_argument("--checkpoint", default=None,
+                   help="Checkpoint file for resumable accumulation "
+                        "(resumes if it exists; see io/checkpoint.py)")
+    p.add_argument("--checkpoint-every", type=int, default=64,
+                   help="Samples per checkpoint flush (default %(default)s)")
+    p.add_argument("--stats", action="store_true",
+                   help="Print a JSON render report to stderr")
+    # kept for launcher.cpp parity; ignored (no host threading to configure)
+    p.add_argument("--threads", "-t", type=int, default=0,
+                   help=argparse.SUPPRESS)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from orion_tpu.engine import prepare, render_prepared, render_report
+    from orion_tpu.io.image import save_image
+
+    ps = prepare(args.rtc_file, strategy=args.strategy,
+                 force_backend=args.backend,
+                 xres=args.xres, yres=args.yres)
+    max_depth = (args.depth if args.depth is not None
+                 else max(int(ps.rtc.recursion_level), 1))
+    key = jax.random.key(args.seed)
+
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        from orion_tpu.io.checkpoint import render_accumulate
+
+        img = render_accumulate(ps, key, samples=args.samples,
+                                light_samples=args.light_samples,
+                                max_depth=max_depth, mode=args.mode,
+                                path=args.checkpoint,
+                                every=args.checkpoint_every)
+    else:
+        img = render_prepared(ps, key, samples=args.samples,
+                              light_samples=args.light_samples,
+                              max_depth=max_depth, mode=args.mode)
+        img = np.asarray(img)
+    dt = time.perf_counter() - t0
+
+    save_image(args.output, img)
+    report = render_report(ps, samples=args.samples,
+                           light_samples=args.light_samples,
+                           max_depth=max_depth, seconds=dt)
+    print(f"rendered {args.rtc_file} -> {args.output} "
+          f"[{report['resolution'][0]}x{report['resolution'][1]}, "
+          f"{args.samples} spp, {report['backend']}] in {dt:.2f}s "
+          f"({report['primary_rays_per_s']:.0f} primary rays/s)")
+    if args.stats:
+        print(json.dumps(report), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

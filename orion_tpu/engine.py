@@ -1,0 +1,147 @@
+"""Engine: scene preparation, backend selection, render orchestration, stats.
+
+The TPU re-design of RayTracer::traceRTC (/root/reference/orion/
+raytracer.cpp:19-103): parse the .rtc, load and flatten the scene, build
+the acceleration structure, pick the fastest intersection backend for the
+current JAX backend and scene size, render, and report statistics.
+
+Backend selection:
+  - small scenes (<= BRUTE_MAX_TRIS valid triangles): brute-force sweep —
+    the Pallas streamed-chunk kernel on TPU, the jnp fallback elsewhere.
+    For a 36-triangle cornell box a BVH walk costs more than testing
+    everything.
+  - large scenes: flattened BVH — the Pallas packet-traversal kernel on
+    TPU (leaf bundles sized for VPU planes), the batched lax.while_loop
+    walk elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from orion_tpu.accel.bvh import DEFAULT_LEAF, SAH, BVH, BuildStats, build_bvh
+from orion_tpu.camera import Camera, camera_from_rtc
+from orion_tpu.io.rtc import RTCData
+from orion_tpu.render import IntersectFn
+from orion_tpu.scene import Scene, load_scene
+
+BRUTE_MAX_TRIS = 1024
+# Pallas packet-traversal tuning (nanosuit 512x512 sweep, 2026-08)
+TPU_LEAF_SIZE = 64
+TPU_RAY_BLOCK = 2048
+
+
+@dataclasses.dataclass
+class PreparedScene:
+    """A scene plus everything needed to render it fast."""
+
+    scene: Scene
+    rtc: RTCData
+    camera: Camera
+    intersect: IntersectFn
+    backend: str                       # "brute-pallas" | "brute-jnp" | ...
+    bvh: Optional[BVH] = None
+    bvh_stats: Optional[BuildStats] = None
+    build_seconds: float = 0.0
+
+
+def select_intersect(scene: Scene, *, strategy: str = SAH,
+                     force: Optional[str] = None):
+    """Choose (intersect_fn, backend_name, bvh, stats) for a scene.
+
+    force: "brute" | "bvh" overrides the size heuristic.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    want_bvh = (scene.num_triangles > BRUTE_MAX_TRIS
+                if force is None else force == "bvh")
+
+    if not want_bvh:
+        if on_tpu:
+            from orion_tpu.ops.pallas_intersect import intersect_brute_pallas
+
+            return intersect_brute_pallas, "brute-pallas", None, None
+        from orion_tpu.ops.intersect import intersect_brute
+
+        return intersect_brute, "brute-jnp", None, None
+
+    leaf = TPU_LEAF_SIZE if on_tpu else DEFAULT_LEAF
+    bvh, stats = build_bvh(np.asarray(scene.tri_v0),
+                           np.asarray(scene.tri_e1),
+                           np.asarray(scene.tri_e2),
+                           np.asarray(scene.tri_valid),
+                           strategy=strategy, leaf_size=leaf)
+    if on_tpu:
+        from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
+
+        fn = make_bvh_intersect_pallas(bvh, scene, ray_block=TPU_RAY_BLOCK)
+        return fn, "bvh-pallas", bvh, stats
+    from orion_tpu.ops.bvh_traverse import make_bvh_intersect
+
+    return make_bvh_intersect(bvh), "bvh-jnp", bvh, stats
+
+
+def prepare(rtc_path: str | Path, *, strategy: str = SAH,
+            force_backend: Optional[str] = None,
+            load_textures: bool = True,
+            xres: Optional[int] = None,
+            yres: Optional[int] = None) -> PreparedScene:
+    """Load an .rtc scene and select the intersection backend."""
+    t0 = time.perf_counter()
+    scene, rtc = load_scene(rtc_path, load_textures=load_textures)
+    if xres is not None:
+        rtc.xres = xres
+    if yres is not None:
+        rtc.yres = yres
+    camera = camera_from_rtc(rtc)
+    fn, backend, bvh, stats = select_intersect(scene, strategy=strategy,
+                                               force=force_backend)
+    return PreparedScene(scene=scene, rtc=rtc, camera=camera, intersect=fn,
+                         backend=backend, bvh=bvh, bvh_stats=stats,
+                         build_seconds=time.perf_counter() - t0)
+
+
+def render_prepared(ps: PreparedScene, key, *, samples: int = 1,
+                    light_samples: int = 1,
+                    max_depth: Optional[int] = None,
+                    mode: Optional[str] = None):
+    """Render a PreparedScene; max_depth defaults to the rtc recursion
+    level (raytracer.cpp:29 uses rtc.recursion_level as the depth cap)."""
+    from orion_tpu.render import render
+
+    if max_depth is None:
+        max_depth = max(int(ps.rtc.recursion_level), 1)
+    return render(ps.scene, ps.camera, key, samples=samples,
+                  max_depth=max_depth, light_samples=light_samples,
+                  mode=mode, intersect=ps.intersect)
+
+
+def render_report(ps: PreparedScene, *, samples: int, light_samples: int,
+                  max_depth: int, seconds: float) -> dict:
+    """Structured per-render statistics (SURVEY.md §5 observability row;
+    the reference only prints a triangle count, raytracer.cpp:305-310)."""
+    H, W = ps.rtc.yres, ps.rtc.xres
+    primary = H * W * samples
+    shadow_per_hit = (ps.scene.num_lights if ps.scene.num_lights > 0
+                      else ps.scene.num_emissive * light_samples)
+    return {
+        "resolution": [W, H],
+        "samples": samples,
+        "light_samples": light_samples,
+        "max_depth": max_depth,
+        "triangles": ps.scene.num_triangles,
+        "meshes": ps.scene.num_meshes,
+        "backend": ps.backend,
+        "jax_backend": jax.default_backend(),
+        "bvh_nodes": ps.bvh_stats.nodes if ps.bvh_stats else 0,
+        "scene_build_seconds": round(ps.build_seconds, 3),
+        "render_seconds": round(seconds, 3),
+        "primary_rays": primary,
+        "primary_rays_per_s": round(primary / max(seconds, 1e-9), 1),
+        "est_shadow_rays_per_primary_bounce": shadow_per_hit,
+    }

@@ -1,0 +1,83 @@
+"""Resumable render accumulation (checkpoint / resume).
+
+The reference has no render checkpointing (SURVEY.md §5) — its only
+persisted state is the viewer's camera dump. Long renders (the README's
+cornell box took 85 minutes, /root/reference/README.md:40-46) should
+survive preemption: we render in sample chunks and persist
+(accumulated radiance, samples done, seed) after each chunk; re-running
+with the same checkpoint path resumes where it stopped.
+
+Determinism: chunk k always draws its jitter/path keys from
+fold_in(base_key, chunk_start + i) per sample index i, so the final image
+is a function of (seed, total samples) alone — independent of chunk size
+or how many times the render was interrupted and resumed.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str | Path, accum: np.ndarray, samples_done: int,
+                    seed_key: np.ndarray) -> None:
+    """Atomic save: write to a temp file in the same directory, then rename."""
+    path = Path(path)
+    fd, tmp = tempfile.mkstemp(dir=path.parent or Path("."),
+                               suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, accum=accum, samples_done=np.int64(samples_done),
+                     key_data=seed_key)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str | Path):
+    """Returns (accum, samples_done, key_data) or None if absent."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    with np.load(path) as z:
+        return z["accum"], int(z["samples_done"]), z["key_data"]
+
+
+def render_accumulate(ps, key, *, samples: int, light_samples: int,
+                      max_depth: int, mode: Optional[str],
+                      path: str | Path, every: int = 64) -> np.ndarray:
+    """Render `samples` spp with checkpointed accumulation; returns the mean
+    radiance image. Resumes from `path` when it exists and matches."""
+    from orion_tpu.render import render
+
+    key_data = np.asarray(jax.random.key_data(key))
+    H, W = ps.rtc.yres, ps.rtc.xres
+    accum = np.zeros((H, W, 3), np.float32)
+    done = 0
+
+    ck = load_checkpoint(path)
+    if ck is not None:
+        c_accum, c_done, c_key = ck
+        if c_accum.shape == accum.shape and np.array_equal(c_key, key_data):
+            accum, done = np.asarray(c_accum, np.float32), c_done
+        # else: incompatible checkpoint -> start over (and overwrite)
+
+    while done < samples:
+        n = min(every, samples - done)
+        # sample_offset keeps sample i's keys chunk-invariant (render folds
+        # fold_in(key, done + i)), so resumes bit-match a one-shot render
+        img = render(ps.scene, ps.camera, key, samples=n,
+                     max_depth=max_depth, light_samples=light_samples,
+                     mode=mode, intersect=ps.intersect, sample_offset=done)
+        accum = accum + np.asarray(img, np.float32) * n
+        done += n
+        save_checkpoint(path, accum, done, key_data)
+
+    return accum / float(max(done, 1))

@@ -5,16 +5,22 @@ The TPU-native analogue of the reference's 8-wide AVX packet intersector
 8 triangles into AVX lanes against one ray, this kernel puts a chunk of
 triangles on VPU *sublanes* and a block of rays on *lanes*, so one
 [TC, RB] register plane evaluates TC triangles x RB rays at once, sweeping
-all triangle chunks with an improve-only (t, id) state — entirely in
-VMEM, so the O(rays x triangles) intermediate planes never touch HBM (the
-jnp fallback in ops/intersect.py materializes them ~25x per call).
+all triangle chunks with an improve-only (t, id) state — entirely on-chip,
+so the O(rays x triangles) intermediate planes never touch HBM (the jnp
+fallback in ops/intersect.py materializes them ~25x per call).
 
-Layout notes (the whole point of this kernel):
+Memory design:
   - rays arrive as [3, N] component rows (sublanes=3of8, lanes=rays) —
     no strided [:, i] slices of an [N, 3] array, which cost a relayout;
-  - triangle components are [TC, n_chunks] (sublanes=triangles, lanes=
-    chunk columns), so chunk c is the natural [TC, 1] lane slice;
-  - the per-chunk result is [TC, RB]; min/argmin reduce over sublanes.
+  - triangle data is ONE [16, T_pad] HBM-resident array (component rows:
+    v0|e1|e2 in the first 9) streamed through double-buffered VMEM scratch
+    with async DMA — chunk c+1 is in flight while chunk c computes. Lane
+    slices are chunk-aligned (Mosaic requires 128-aligned lane offsets),
+    and HBM streaming lifts any VMEM scene-size limit (works for
+    million-triangle scenes);
+  - per-chunk triangle components are *static* row slices of the scratch
+    block -> [1, TC] lanes; ray components are transposed once per grid
+    step to [RB, 1] sublanes, so the compute plane is [RB, TC].
 
 Contract matches ops.intersect.mt_test: two-sided MT, eps=1e-6 on the
 determinant, nearest non-negative t wins, padding triangles are degenerate
@@ -38,17 +44,21 @@ from jax.experimental.pallas import tpu as pltpu
 from orion_tpu.ops.intersect import MT_EPS, Hit
 from orion_tpu.scene import Scene
 
-# max triangles per chunk (sublane dimension of the compute plane)
+# triangles per streamed chunk (sublane dimension of the compute plane)
 TRI_CHUNK = 512
-# target elements per [TC, RB] compute plane: ~25 live f32 temps of this size
-# must fit comfortably in 16 MB VMEM alongside block double-buffers
-PLANE_BUDGET = 64 * 1024
+# rays per grid block (lane dimension)
+RAY_BLOCK = 256
 
 _BIG = np.float32(3.0e38)
 
 
-def _mt_plane(o, d, v0, e1, e2):
-    """MT for [1,RB] ray comps against [TC,1] triangle comps -> t [TC,RB]."""
+def mt_plane(o, d, v0, e1, e2):
+    """Branchless MT on broadcast component planes -> masked t (_BIG=miss).
+
+    Orientation-agnostic: pass o/d comps [RB,1] and tri comps [1,TC] for a
+    [RB,TC] plane (brute sweep), or o/d [1,RB] and tris [W,1] for [W,RB]
+    (BVH leaf bundles).
+    """
     ox, oy, oz = o
     dx, dy, dz = d
     v0x, v0y, v0z = v0
@@ -75,69 +85,111 @@ def _mt_plane(o, d, v0, e1, e2):
     return jnp.where(ok, t, _BIG)
 
 
-def _brute_kernel(o_ref, d_ref,
-                  v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-                  t_out, id_out):
-    """One grid step: RAY_BLOCK rays (lanes) against ALL triangle chunks."""
-    tc, n_chunks = v0x.shape
+def tri_comps_rows(block):
+    """Split a [16, TC] scratch block into ((v0),(e1),(e2)) [1,TC] comps."""
+    v0 = (block[0:1, :], block[1:2, :], block[2:3, :])
+    e1 = (block[3:4, :], block[4:5, :], block[5:6, :])
+    e2 = (block[6:7, :], block[7:8, :], block[8:9, :])
+    return v0, e1, e2
 
-    o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])   # [1,RB]
-    d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
 
-    # triangle row index within a chunk (global id = c*tc + row)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
+def tri_comps_cols(block):
+    """Split a [W, 128] scratch block into ((v0),(e1),(e2)) [W,1] comps."""
+    v0 = (block[:, 0:1], block[:, 1:2], block[:, 2:3])
+    e1 = (block[:, 3:4], block[:, 4:5], block[:, 5:6])
+    e2 = (block[:, 6:7], block[:, 7:8], block[:, 8:9])
+    return v0, e1, e2
+
+
+def _brute_kernel(o_ref, d_ref, tri_hbm, t_out, id_out, scratch, sems):
+    """One grid step: RAY_BLOCK rays (sublanes) vs ALL streamed tri chunks."""
+    tc = scratch.shape[2]
+    n_chunks = tri_hbm.shape[1] // tc
+    rb = o_ref.shape[1]
+
+    # one [3,RB] -> [RB,3] relayout per grid step, amortized over all chunks
+    oT = jnp.transpose(o_ref[:, :])
+    dT = jnp.transpose(d_ref[:, :])
+    o = (oT[:, 0:1], oT[:, 1:2], oT[:, 2:3])            # [RB,1]
+    d = (dT[:, 0:1], dT[:, 1:2], dT[:, 2:3])
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(c * tc, tc)],
+            scratch.at[slot],
+            sems.at[slot])
+
+    chunk_dma(0, 0).start()
 
     def body(c, state):
-        t_best, id_best = state  # [1,RB] f32, [1,RB] i32
-        sl = pl.ds(c, 1)
-        v0 = (v0x[:, sl], v0y[:, sl], v0z[:, sl])       # [TC,1]
-        e1 = (e1x[:, sl], e1y[:, sl], e1z[:, sl])
-        e2 = (e2x[:, sl], e2y[:, sl], e2z[:, sl])
-        t = _mt_plane(o, d, v0, e1, e2)                  # [TC,RB]
+        t_best, id_best = state  # [RB,1] f32, [RB,1] i32
+        slot = jax.lax.rem(c, 2)
+        next_slot = jax.lax.rem(c + 1, 2)
 
-        t_min = jnp.min(t, axis=0, keepdims=True)        # [1,RB]
-        # argmin-by-value: smallest row achieving t_min
-        row = jnp.min(jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
-                      axis=0, keepdims=True)
-        idx = row + c * tc
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            chunk_dma(next_slot, c + 1).start()
+
+        chunk_dma(slot, c).wait()
+        v0, e1, e2 = tri_comps_rows(scratch[slot])       # [1,TC]
+        t = mt_plane(o, d, v0, e1, e2)                   # [RB,TC]
+
+        t_min = jnp.min(t, axis=1, keepdims=True)        # [RB,1]
+        # argmin-by-value: smallest column achieving t_min
+        col = jnp.min(jnp.where(t == t_min, col_idx, jnp.int32(2**30)),
+                      axis=1, keepdims=True)
+        idx = col + c * tc
 
         better = t_min < t_best
         t_new = jnp.where(better, t_min, t_best)
         id_new = jnp.where(better & (t_min < _BIG), idx, id_best)
         return t_new, id_new
 
-    t0 = jnp.full(t_out.shape, _BIG, jnp.float32)
-    i0 = jnp.full(id_out.shape, -1, jnp.int32)
+    t0 = jnp.full((rb, 1), _BIG, jnp.float32)
+    i0 = jnp.full((rb, 1), -1, jnp.int32)
     t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, (t0, i0))
-    t_out[:, :] = jnp.where(id_best >= 0, t_best, jnp.inf)
-    id_out[:, :] = id_best
+    t_out[:, :] = jnp.transpose(jnp.where(id_best >= 0, t_best, jnp.inf))
+    id_out[:, :] = jnp.transpose(id_best)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("ray_block",))
-def _intersect_pallas_impl(tri_v0, tri_e1, tri_e2, orig, dirs,
-                           ray_block: int | None = None):
+def pack_tri_rows(tri_v0, tri_e1, tri_e2, chunk: int):
+    """[T,3]x3 -> [16, T_pad] component rows (v0|e1|e2 in rows 0..8),
+    padding columns degenerate. Chunk-aligned lane slices DMA cleanly."""
     T = tri_v0.shape[0]
+    T_pad = _round_up(max(T, chunk), chunk)
+    data = jnp.zeros((16, T_pad), jnp.float32)
+    data = data.at[0:3, :T].set(tri_v0.T)
+    data = data.at[3:6, :T].set(tri_e1.T)
+    data = data.at[6:9, :T].set(tri_e2.T)
+    return data
+
+
+def pack_tri_cols(tri_v0, tri_e1, tri_e2, bundle: int):
+    """[B,3]x3 -> [B_pad, 128] rows (v0|e1|e2 in cols 0..8). Bundle row
+    slices (multiples of 8) DMA cleanly; full 128-lane rows satisfy the
+    lane tiling."""
+    B = tri_v0.shape[0]
+    B_pad = _round_up(max(B, bundle), bundle)
+    data = jnp.zeros((B_pad, 128), jnp.float32)
+    data = data.at[:B, 0:3].set(tri_v0)
+    data = data.at[:B, 3:6].set(tri_e1)
+    data = data.at[:B, 6:9].set(tri_e2)
+    return data
+
+
+@partial(jax.jit, static_argnames=("ray_block", "tri_chunk", "interpret"))
+def _intersect_pallas_impl(tri_data, orig, dirs,
+                           ray_block: int = RAY_BLOCK,
+                           tri_chunk: int = TRI_CHUNK,
+                           interpret: bool = False):
     N = orig.shape[0]
-    # chunk height: sublane multiple, capped
-    tc = min(_round_up(max(T, 8), 8), TRI_CHUNK)
-    T_pad = _round_up(T, tc)
-    n_chunks = T_pad // tc
-    if ray_block is None:
-        # lane width per block, sized so the [TC, RB] temps fit VMEM
-        ray_block = max(128, min(1024, _round_up(PLANE_BUDGET // tc, 128)))
     N_pad = _round_up(max(N, ray_block), ray_block)
-
-    def tri_comp(arr, i):
-        c = jnp.pad(arr[:, i], (0, T_pad - T))
-        # [T_pad] -> [TC, n_chunks]: triangle g lives at [g % tc, g // tc]
-        return c.reshape(n_chunks, tc).T
-
-    tris = [tri_comp(a, i) for a in (tri_v0, tri_e1, tri_e2)
-            for i in range(3)]
 
     # rays as [3, N] component rows
     o3 = jnp.pad(orig.T, ((0, 0), (0, N_pad - N)))
@@ -148,29 +200,45 @@ def _intersect_pallas_impl(tri_v0, tri_e1, tri_e2, orig, dirs,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ray_block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     t, tri_id = pl.pallas_call(
         _brute_kernel,
         grid=grid,
-        in_specs=[ray_spec] * 2 + [tri_spec] * 9,
+        in_specs=[ray_spec, ray_spec,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],  # tris stay off-VMEM
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
-    )(o3, d3, *tris)
+        scratch_shapes=[pltpu.VMEM((2, 16, tri_chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(o3, d3, tri_data)
     return t[0, :N], tri_id[0, :N]
 
 
+def _auto_chunk(T: int) -> int:
+    """Small scenes use one lane-tile chunk; large scenes stream TRI_CHUNK."""
+    return min(_round_up(max(T, 128), 128), TRI_CHUNK)
+
+
 def intersect_brute_pallas(scene: Scene, orig: jax.Array, dirs: jax.Array,
-                           ray_block: int | None = None) -> Hit:
-    """Drop-in Pallas replacement for intersect_brute (same Hit contract)."""
+                           ray_block: int = RAY_BLOCK,
+                           interpret: bool | None = None) -> Hit:
+    """Drop-in Pallas replacement for intersect_brute (same Hit contract).
+
+    interpret=None auto-selects interpreter mode off-TPU (CPU tests).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tc = _auto_chunk(scene.tri_v0.shape[0])
+    tri_data = pack_tri_rows(jax.lax.stop_gradient(scene.tri_v0),
+                             jax.lax.stop_gradient(scene.tri_e1),
+                             jax.lax.stop_gradient(scene.tri_e2), tc)
     t, tri_id = _intersect_pallas_impl(
-        jax.lax.stop_gradient(scene.tri_v0),
-        jax.lax.stop_gradient(scene.tri_e1),
-        jax.lax.stop_gradient(scene.tri_e2),
+        tri_data,
         jax.lax.stop_gradient(orig),
         jax.lax.stop_gradient(dirs),
-        ray_block=ray_block)
+        ray_block=ray_block, tri_chunk=tc, interpret=interpret)
     # ids beyond the true (unpadded) triangle count are padding => miss
     valid = tri_id < scene.num_triangles
     return Hit(t=jnp.where(valid, t, jnp.inf),

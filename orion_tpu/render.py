@@ -221,25 +221,31 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
 
 @partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
                                    "mode", "intersect", "reference_frame",
-                                   "shared_jitter"))
+                                   "shared_jitter", "sample_offset"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
            intersect: Optional[IntersectFn] = None,
            reference_frame: bool = False,
-           shared_jitter: bool = True) -> jax.Array:
+           shared_jitter: bool = True,
+           sample_offset: int = 0) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
     (one jitter offset per sample index, used by every pixel,
     raytracer.cpp:53-63); False gives every pixel its own jitter.
+
+    sample_offset shifts the per-sample key indices: sample i draws keys
+    from fold_in(key, sample_offset + i), so chunked/checkpointed renders
+    composing [0,n) + [n,m) bit-match a single [0,m) render (io/checkpoint).
     """
     H, W = camera.yres, camera.xres
     px = 2.0 / W
     py = 2.0 / H
 
     def sample_body(acc, k):
-        k_jit, k_trace = jax.random.split(jax.random.fold_in(key, k))
+        k_jit, k_trace = jax.random.split(
+            jax.random.fold_in(key, k + sample_offset))
         if shared_jitter:
             jit = jax.random.uniform(k_jit, (2,))
             jx, jy = jit[0] * px, jit[1] * py

@@ -1,0 +1,95 @@
+"""Engine backend selection, CLI, checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+
+from orion_tpu.engine import BRUTE_MAX_TRIS, prepare, render_prepared
+
+
+def test_backend_selection_small(assets_dir):
+    ps = prepare(assets_dir / "cornell-box.rtc")
+    assert ps.scene.num_triangles <= BRUTE_MAX_TRIS
+    assert ps.backend == "brute-jnp"  # CPU test env
+    assert ps.bvh is None
+
+
+def test_backend_selection_large(assets_dir):
+    ps = prepare(assets_dir / "nanosuit.rtc", load_textures=False)
+    assert ps.scene.num_triangles > BRUTE_MAX_TRIS
+    assert ps.backend == "bvh-jnp"
+    assert ps.bvh is not None
+    assert ps.bvh_stats.nodes > 100
+
+
+def test_render_prepared(assets_dir):
+    import jax
+
+    ps = prepare(assets_dir / "view_test.rtc", xres=32, yres=24)
+    img = np.asarray(render_prepared(ps, jax.random.key(0), samples=1))
+    assert img.shape == (24, 32, 3)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_cli_end_to_end(assets_dir, tmp_path):
+    from orion_tpu.cli import main
+
+    out = tmp_path / "out.png"
+    rc = main([str(assets_dir / "view_test.rtc"), "-o", str(out),
+               "-p", "1", "--xres", "32", "--yres", "24", "--stats"])
+    assert rc == 0
+    assert out.exists()
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.size == (32, 24)
+
+
+def test_cli_forced_bvh_backend(assets_dir, tmp_path):
+    from orion_tpu.cli import main
+
+    out = tmp_path / "out.ppm"
+    rc = main([str(assets_dir / "cornell-box.rtc"), "-o", str(out),
+               "-p", "1", "--xres", "24", "--yres", "16",
+               "--backend", "bvh", "--strategy", "median"])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_checkpoint_resume_matches_oneshot(assets_dir, tmp_path):
+    """Interrupted + resumed accumulation == one uninterrupted render."""
+    import jax
+
+    from orion_tpu.io.checkpoint import load_checkpoint, render_accumulate
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=24, yres=16)
+    key = jax.random.key(3)
+    kw = dict(light_samples=1, max_depth=2, mode="path")
+
+    oneshot = render_accumulate(ps, key, samples=4, path=tmp_path / "a.ckpt",
+                                every=4, **kw)
+
+    # chunked via small `every`, "interrupted" after the first flush
+    p = tmp_path / "b.ckpt"
+    render_accumulate(ps, key, samples=2, path=p, every=2, **kw)
+    ck = load_checkpoint(p)
+    assert ck is not None and ck[1] == 2
+    resumed = render_accumulate(ps, key, samples=4, path=p, every=2, **kw)
+
+    np.testing.assert_allclose(resumed, oneshot, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_ignores_mismatched_seed(assets_dir, tmp_path):
+    import jax
+
+    from orion_tpu.io.checkpoint import load_checkpoint, render_accumulate
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=16, yres=12)
+    p = tmp_path / "c.ckpt"
+    kw = dict(light_samples=1, max_depth=1, mode="path")
+    render_accumulate(ps, jax.random.key(1), samples=2, path=p, every=2, **kw)
+    # different seed must restart, not resume
+    img2 = render_accumulate(ps, jax.random.key(2), samples=2, path=p,
+                             every=2, **kw)
+    fresh = render_accumulate(ps, jax.random.key(2), samples=2,
+                              path=tmp_path / "d.ckpt", every=2, **kw)
+    np.testing.assert_allclose(img2, fresh, rtol=1e-6)
