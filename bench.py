@@ -1,11 +1,13 @@
 """Headline benchmark: Cornell-box BRDF path trace throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+driver; a fuller multi-config report is written to BENCH_DETAILS.json.
 
-Config mirrors BASELINE.md config 2 (Cornell 512x512, 16 spp, max depth 8,
-light samples 2 — the reference's path-tracing mode, raytracer.cpp:131-194).
-The baseline anchor is the reference CPU's 0.83M primary rays/s derived from
-its published 1920x1080 @2048spp render in 5126.4 s (README.md:40-46).
+Headline config mirrors BASELINE.md config 2 (Cornell 512x512, 16 spp, max
+depth 8, light samples 2 — the reference's path-tracing mode,
+raytracer.cpp:131-194). The baseline anchor is the reference CPU's 0.83M
+primary rays/s derived from its published 1920x1080 @2048spp render in
+5126.4 s (README.md:40-46).
 """
 
 import json
@@ -13,49 +15,68 @@ import sys
 import time
 
 BASELINE_PRIMARY_RAYS_PER_S = 0.83e6  # reference CPU anchor (BASELINE.md)
-
-XRES, YRES = 512, 512
-SAMPLES = 16
-MAX_DEPTH = 8
-LIGHT_SAMPLES = 2
+ASSETS = "/root/reference/assets"
 
 
-def main():
+def run_config(name, rtc, xres, yres, samples, depth, light_samples,
+               iters=3, mode=None):
     import jax
 
-    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.engine import prepare
     from orion_tpu.render import render
-    from orion_tpu.scene import load_scene
 
-    scene, rtc = load_scene("/root/reference/assets/cornell-box.rtc")
-    rtc.xres, rtc.yres = XRES, YRES
-    cam = camera_from_rtc(rtc)
+    ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres)
     key = jax.random.key(0)
 
-    def run():
-        img = render(scene, cam, key, samples=SAMPLES, max_depth=MAX_DEPTH,
-                     light_samples=LIGHT_SAMPLES, mode="path")
+    def go():
+        img = render(ps.scene, ps.camera, key, samples=samples,
+                     max_depth=depth, light_samples=light_samples,
+                     mode=mode, intersect=ps.intersect)
         img.block_until_ready()
         return img
 
-    img = run()  # compile + warmup
-    assert bool(jax.numpy.isfinite(img).all()), "non-finite radiance"
-
-    n_iters = 3
+    img = go()  # compile + warmup
+    assert bool(jax.numpy.isfinite(img).all()), f"non-finite radiance: {name}"
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run()
-    dt = (time.perf_counter() - t0) / n_iters
+    for _ in range(iters):
+        go()
+    dt = (time.perf_counter() - t0) / iters
+    primary = xres * yres * samples
+    return {
+        "name": name,
+        "backend": ps.backend,
+        "seconds": round(dt, 4),
+        "primary_rays_per_s": round(primary / dt, 1),
+    }
 
-    primary_rays = XRES * YRES * SAMPLES
-    rays_per_s = primary_rays / dt
-    out = {
+
+def main():
+    headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
+                          512, 512, 16, 8, 2)
+    details = [headline]
+    try:
+        details.append(run_config("cornell_whitted_256_1spp",
+                                  "cornell-box.rtc", 256, 256, 1, 1, 2,
+                                  iters=5, mode="whitted"))
+        details.append(run_config("nanosuit_whitted_1024_4spp",
+                                  "nanosuit.rtc", 1024, 1024, 4, 2, 1,
+                                  iters=2))
+        details.append(run_config("view_test_path_512_4spp",
+                                  "view_test.rtc", 512, 512, 4, 4, 2,
+                                  iters=3))
+    except Exception as e:  # secondary configs must not break the headline
+        details.append({"error": repr(e)})
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
+
+    rays_per_s = headline["primary_rays_per_s"]
+    print(json.dumps({
         "metric": "cornell_path_512x512_16spp_primary_rays_per_s",
-        "value": round(rays_per_s, 1),
+        "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
-    }
-    print(json.dumps(out))
+    }))
     return 0
 
 

@@ -32,9 +32,10 @@ from orion_tpu.render import IntersectFn
 from orion_tpu.scene import Scene, load_scene
 
 BRUTE_MAX_TRIS = 1024
-# Pallas packet-traversal tuning (nanosuit 512x512 sweep, 2026-08)
-TPU_LEAF_SIZE = 64
-TPU_RAY_BLOCK = 2048
+# Pallas packet-traversal tuning (nanosuit 512x512 sweep, 2026-08):
+# leaf_width pinned to 128 by the kernel's lane-alignment requirement
+TPU_LEAF_SIZE = 128
+TPU_RAY_BLOCK = 1024
 
 
 @dataclasses.dataclass
@@ -70,12 +71,19 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
 
         return intersect_brute, "brute-jnp", None, None
 
-    leaf = TPU_LEAF_SIZE if on_tpu else DEFAULT_LEAF
-    bvh, stats = build_bvh(np.asarray(scene.tri_v0),
-                           np.asarray(scene.tri_e1),
-                           np.asarray(scene.tri_e2),
-                           np.asarray(scene.tri_valid),
-                           strategy=strategy, leaf_size=leaf)
+    if on_tpu:
+        bvh, stats = build_bvh(np.asarray(scene.tri_v0),
+                               np.asarray(scene.tri_e1),
+                               np.asarray(scene.tri_e2),
+                               np.asarray(scene.tri_valid),
+                               strategy=strategy, leaf_size=TPU_LEAF_SIZE,
+                               leaf_width=TPU_LEAF_SIZE)
+    else:
+        bvh, stats = build_bvh(np.asarray(scene.tri_v0),
+                               np.asarray(scene.tri_e1),
+                               np.asarray(scene.tri_e2),
+                               np.asarray(scene.tri_valid),
+                               strategy=strategy, leaf_size=DEFAULT_LEAF)
     if on_tpu:
         from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
 

@@ -1,28 +1,29 @@
 """Pallas TPU kernel: packet BVH traversal (block-uniform skip-pointer walk).
 
-The TPU analogue of packet ray tracing: a block of RB rays (VPU lanes)
-walks the flattened BVH *together*. The node pointer is block-uniform
-scalar state; a node's subtree is entered iff ANY live lane hits its AABB
-(with per-lane t-entry pruning), and leaf bundles are tested as dense
-[W, RB] Möller-Trumbore planes — triangles on sublanes, rays on lanes,
-sharing mt_plane with ops/pallas_intersect.py but only for the leaves this
-block actually reaches.
+The TPU analogue of packet ray tracing: a block of RB rays walks the
+flattened BVH *together*. The node pointer is block-uniform scalar state;
+a node's subtree is entered iff ANY live lane hits its AABB (with per-lane
+t-entry pruning), and leaf bundles are tested as dense [RB, 128]
+Möller-Trumbore planes — rays on sublanes, the leaf's 128 bundled
+triangles on lanes — via the shared mt_plane of ops/pallas_intersect.py,
+but only for the leaves this block actually reaches.
 
 vs the reference (SBVH::innerIntersect, /root/reference/orion/avx/sbvh.cpp:
 36-83): the reference recurses per ray and tests 8 triangles per AVX step;
-here each traversal step tests leaf_width x RB ray-triangle pairs, and the
-block amortizes node decisions across 128+ rays. Coherent packets (primary,
-shadow) visit near-minimal node sets; incoherent bounce packets visit the
-union of their lanes' paths — the classic divergence trade, priced at
-block granularity.
+here each leaf visit tests 128 x RB ray-triangle pairs and the block
+amortizes node decisions across hundreds of rays. Coherent packets
+(primary, shadow) visit near-minimal node sets; incoherent bounce packets
+visit the union of their lanes' paths — the classic divergence trade,
+priced at block granularity.
 
 Memory plan:
   - node scalars (bounds, skip, leaf start) ride in SMEM via scalar
     prefetch (PrefetchScalarGridSpec) — they feed scalar control flow;
-  - bundled leaf triangles live in HBM as one [B, 128] packed array
-    (v0|e1|e2 in the first 9 lanes); a visited leaf's [W, 128] row slice
-    is DMA'd into VMEM scratch (row offsets are bundle-multiples, which
-    satisfies sublane tiling; HBM residency lifts any scene-size limit);
+  - bundled leaf triangles are resident in VMEM as one [16, B_pad]
+    component-row array. leaf_width is pinned to 128 so a leaf's lane
+    offset is provably 128-aligned (pl.multiple_of) — the only dynamic
+    lane slice Mosaic accepts. (A DMA-per-leaf variant measured ~5x
+    slower: leaf visits are latency-bound.)
   - rays arrive as [3, N] component rows, blocked to [3, RB].
 """
 
@@ -38,30 +39,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH
 from orion_tpu.ops.intersect import Hit
-from orion_tpu.ops.pallas_intersect import (mt_plane, pack_tri_cols,
-                                            tri_comps_cols)
+from orion_tpu.ops.pallas_intersect import (mt_plane, pack_tri_rows,
+                                            ray_comps_T, tri_comps_rows)
 
-RAY_BLOCK = 256
+RAY_BLOCK = 1024
+LEAF_WIDTH = 128  # pinned: leaf lane offsets must be 128-aligned
 
 _BIG = np.float32(3.0e38)
 
 
 def _make_kernel(M: int, W: int):
+    assert W == LEAF_WIDTH
+
     def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start,
-               o_ref, d_ref, tri_hbm,
-               t_out, id_out, scratch, sem):
-        o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])   # [1,RB]
-        d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
+               o_ref, d_ref, tri_ref,
+               t_out, id_out):
+        o, d = ray_comps_T(o_ref, d_ref)                 # [RB,1] comps
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
 
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
         def body(carry):
-            ptr, t_best, row_best = carry
+            ptr, t_best, col_best = carry
             lo = (n_lox[ptr], n_loy[ptr], n_loz[ptr])
             hi = (n_hix[ptr], n_hiy[ptr], n_hiz[ptr])
 
-            # slab test, [1,RB] lanes vs scalar bounds; flat boxes hit (>=)
+            # slab test, [RB,1] vs scalar bounds; flat boxes hit (>=)
             tx0 = (lo[0] - o[0]) * inv[0]
             tx1 = (hi[0] - o[0]) * inv[0]
             ty0 = (lo[1] - o[1]) * inv[1]
@@ -81,39 +84,37 @@ def _make_kernel(M: int, W: int):
             is_leaf = start >= 0
 
             def leaf_case(state):
-                t_best, row_best = state
-                dma = pltpu.make_async_copy(
-                    tri_hbm.at[pl.ds(start, W), :], scratch, sem)
-                dma.start()
-                dma.wait()
-                v0, e1, e2 = tri_comps_cols(scratch)
-                t = mt_plane(o, d, v0, e1, e2)              # [W,RB]
-                t_min = jnp.min(t, axis=0, keepdims=True)   # [1,RB]
-                row = jnp.min(jnp.where(t == t_min, row_idx,
+                t_best, col_best = state
+                off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+                v0, e1, e2 = tri_comps_rows(tri_ref[:, pl.ds(off, W)])
+                t = mt_plane(o, d, v0, e1, e2)              # [RB,W]
+                t_min = jnp.min(t, axis=1, keepdims=True)   # [RB,1]
+                col = jnp.min(jnp.where(t == t_min, col_idx,
                                         jnp.int32(2**30)),
-                              axis=0, keepdims=True) + start
+                              axis=1, keepdims=True) + start
                 better = (t_min < t_best) & (t_min < _BIG)
                 return (jnp.where(better, t_min, t_best),
-                        jnp.where(better, row, row_best))
+                        jnp.where(better, col, col_best))
 
             do_leaf = any_hit & is_leaf
-            t_best, row_best = jax.lax.cond(
-                do_leaf, leaf_case, lambda s: s, (t_best, row_best))
+            t_best, col_best = jax.lax.cond(
+                do_leaf, leaf_case, lambda s: s, (t_best, col_best))
 
             descend = any_hit & jnp.logical_not(is_leaf)
             ptr = jnp.where(descend, ptr + 1, n_skip[ptr])
-            return ptr, t_best, row_best
+            return ptr, t_best, col_best
 
         def cond(carry):
             return carry[0] < M
 
-        t0 = jnp.full(t_out.shape, _BIG, jnp.float32)
-        i0 = jnp.full(id_out.shape, -1, jnp.int32)
+        rb = o_ref.shape[1]
+        t0 = jnp.full((rb, 1), _BIG, jnp.float32)
+        i0 = jnp.full((rb, 1), -1, jnp.int32)
         ptr0 = jnp.int32(0)
-        _, t_best, row_best = jax.lax.while_loop(cond, body,
-                                                 (ptr0, t0, i0))
-        t_out[:, :] = jnp.where(row_best >= 0, t_best, jnp.inf)
-        id_out[:, :] = row_best
+        _, t_best, col_best = jax.lax.while_loop(cond, body, (ptr0, t0, i0))
+        t_out[:, :] = jnp.transpose(
+            jnp.where(col_best >= 0, t_best, jnp.inf))
+        id_out[:, :] = jnp.transpose(col_best)
 
     return kernel
 
@@ -141,15 +142,13 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident bundles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(node_scalars),
         grid=grid,
-        in_specs=[ray_spec, ray_spec,
-                  pl.BlockSpec(memory_space=pltpu.ANY)],  # tris stay in HBM
+        in_specs=[ray_spec, ray_spec, tri_spec],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=[pltpu.VMEM((leaf_width, 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
     )
 
     t, row = pl.pallas_call(
@@ -163,12 +162,12 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
 
 
 def _bvh_device_layout(bvh: BVH):
-    """Kernel-ready layouts: node scalar vectors + packed [B,16] tri rows."""
+    """Kernel-ready layouts: node scalar vectors + [16, B_pad] tri rows."""
     node_scalars = tuple(
         [bvh.node_lo[:, i] for i in range(3)]
         + [bvh.node_hi[:, i] for i in range(3)]
         + [bvh.node_skip, bvh.node_start])
-    tri_data = pack_tri_cols(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
+    tri_data = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
                              bvh.leaf_width)
     return node_scalars, tri_data
 
@@ -177,9 +176,15 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
                               interpret: bool | None = None):
     """IntersectFn closure: Pallas packet traversal over a flattened BVH.
 
-    Maps bundled rows to global scene triangle ids (tri_orig), matching the
-    other backends' Hit contract.
+    Requires bvh.leaf_width == 128 (build with leaf_size<=128,
+    leaf_width=128; the engine does this on TPU). Maps bundled rows to
+    global scene triangle ids (tri_orig), matching the other backends'
+    Hit contract.
     """
+    if bvh.leaf_width != LEAF_WIDTH:
+        raise ValueError(
+            f"Pallas BVH traversal needs leaf_width={LEAF_WIDTH}, "
+            f"got {bvh.leaf_width}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     node_scalars, tri_data = _bvh_device_layout(bvh)

@@ -2,25 +2,24 @@
 
 The TPU-native analogue of the reference's 8-wide AVX packet intersector
 (/root/reference/orion/avx/geometry.hpp:86-142): where the reference packs
-8 triangles into AVX lanes against one ray, this kernel puts a chunk of
-triangles on VPU *sublanes* and a block of rays on *lanes*, so one
-[TC, RB] register plane evaluates TC triangles x RB rays at once, sweeping
-all triangle chunks with an improve-only (t, id) state — entirely on-chip,
-so the O(rays x triangles) intermediate planes never touch HBM (the jnp
-fallback in ops/intersect.py materializes them ~25x per call).
+8 triangles into AVX lanes against one ray, this kernel evaluates an
+[RB, TC] register plane — RB rays on sublanes x TC triangles on lanes —
+per chunk, sweeping all chunks with an improve-only (t, id) state held in
+registers, so the O(rays x triangles) intermediate planes never touch HBM
+(the jnp fallback in ops/intersect.py materializes them ~25x per call).
 
-Memory design:
-  - rays arrive as [3, N] component rows (sublanes=3of8, lanes=rays) —
-    no strided [:, i] slices of an [N, 3] array, which cost a relayout;
-  - triangle data is ONE [16, T_pad] HBM-resident array (component rows:
-    v0|e1|e2 in the first 9) streamed through double-buffered VMEM scratch
-    with async DMA — chunk c+1 is in flight while chunk c computes. Lane
-    slices are chunk-aligned (Mosaic requires 128-aligned lane offsets),
-    and HBM streaming lifts any VMEM scene-size limit (works for
-    million-triangle scenes);
-  - per-chunk triangle components are *static* row slices of the scratch
-    block -> [1, TC] lanes; ray components are transposed once per grid
-    step to [RB, 1] sublanes, so the compute plane is [RB, TC].
+Memory design (chosen against Mosaic's alignment rules — lane slices must
+be 128-aligned and *statically provable*):
+  - rays arrive as [3, N] component rows (sublanes=3of8, lanes=rays); one
+    [3,RB] -> [RB,3] transpose per grid step yields [RB,1] components with
+    no strided XLA-level slices;
+  - triangle data is ONE [16, T_pad] array (component rows v0|e1|e2 in
+    rows 0..8) resident in VMEM; the chunk loop is unrolled in Python so
+    every chunk slice [:, c*TC:(c+1)*TC] is static. Residency costs
+    64 B/triangle of VMEM — good to ~10^5 triangles, far beyond every
+    bundled scene; larger scenes belong to the BVH backend anyway.
+    (A DMA-streaming variant was measured 30x slower on the cornell box:
+    per-grid-step DMA waits dominate when the sweep itself is ~1 chunk.)
 
 Contract matches ops.intersect.mt_test: two-sided MT, eps=1e-6 on the
 determinant, nearest non-negative t wins, padding triangles are degenerate
@@ -44,10 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from orion_tpu.ops.intersect import MT_EPS, Hit
 from orion_tpu.scene import Scene
 
-# triangles per streamed chunk (sublane dimension of the compute plane)
+# triangles per statically-unrolled chunk (lane dimension of the plane)
 TRI_CHUNK = 512
-# rays per grid block (lane dimension)
+# rays per grid block (sublane dimension of the plane)
 RAY_BLOCK = 256
+# resident-VMEM ceiling: [16, T_pad] f32 = 64 B/tri; 8 MB ~ 128k triangles
+RESIDENT_MAX_TRIS = 128 * 1024
 
 _BIG = np.float32(3.0e38)
 
@@ -56,8 +57,7 @@ def mt_plane(o, d, v0, e1, e2):
     """Branchless MT on broadcast component planes -> masked t (_BIG=miss).
 
     Orientation-agnostic: pass o/d comps [RB,1] and tri comps [1,TC] for a
-    [RB,TC] plane (brute sweep), or o/d [1,RB] and tris [W,1] for [W,RB]
-    (BVH leaf bundles).
+    [RB,TC] plane (brute sweep / BVH leaves), or the transpose for [TC,RB].
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -85,55 +85,39 @@ def mt_plane(o, d, v0, e1, e2):
     return jnp.where(ok, t, _BIG)
 
 
+def ray_comps_T(o_ref, d_ref):
+    """[3,RB] ray refs -> ([RB,1] o comps, [RB,1] d comps), one transpose."""
+    oT = jnp.transpose(o_ref[:, :])
+    dT = jnp.transpose(d_ref[:, :])
+    o = (oT[:, 0:1], oT[:, 1:2], oT[:, 2:3])
+    d = (dT[:, 0:1], dT[:, 1:2], dT[:, 2:3])
+    return o, d
+
+
 def tri_comps_rows(block):
-    """Split a [16, TC] scratch block into ((v0),(e1),(e2)) [1,TC] comps."""
+    """Split a [16, TC] block into ((v0),(e1),(e2)) [1,TC] comps."""
     v0 = (block[0:1, :], block[1:2, :], block[2:3, :])
     e1 = (block[3:4, :], block[4:5, :], block[5:6, :])
     e2 = (block[6:7, :], block[7:8, :], block[8:9, :])
     return v0, e1, e2
 
 
-def tri_comps_cols(block):
-    """Split a [W, 128] scratch block into ((v0),(e1),(e2)) [W,1] comps."""
-    v0 = (block[:, 0:1], block[:, 1:2], block[:, 2:3])
-    e1 = (block[:, 3:4], block[:, 4:5], block[:, 5:6])
-    e2 = (block[:, 6:7], block[:, 7:8], block[:, 8:9])
-    return v0, e1, e2
-
-
-def _brute_kernel(o_ref, d_ref, tri_hbm, t_out, id_out, scratch, sems):
-    """One grid step: RAY_BLOCK rays (sublanes) vs ALL streamed tri chunks."""
-    tc = scratch.shape[2]
-    n_chunks = tri_hbm.shape[1] // tc
+def _brute_kernel(o_ref, d_ref, tri_ref, t_out, id_out):
+    """One grid step: RAY_BLOCK rays vs ALL triangle chunks (unrolled)."""
+    T_pad = tri_ref.shape[1]
+    tc = min(T_pad, TRI_CHUNK)
+    n_chunks = T_pad // tc
     rb = o_ref.shape[1]
 
-    # one [3,RB] -> [RB,3] relayout per grid step, amortized over all chunks
-    oT = jnp.transpose(o_ref[:, :])
-    dT = jnp.transpose(d_ref[:, :])
-    o = (oT[:, 0:1], oT[:, 1:2], oT[:, 2:3])            # [RB,1]
-    d = (dT[:, 0:1], dT[:, 1:2], dT[:, 2:3])
+    o, d = ray_comps_T(o_ref, d_ref)
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
 
-    def chunk_dma(slot, c):
-        return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(c * tc, tc)],
-            scratch.at[slot],
-            sems.at[slot])
+    t_best = jnp.full((rb, 1), _BIG, jnp.float32)
+    id_best = jnp.full((rb, 1), -1, jnp.int32)
 
-    chunk_dma(0, 0).start()
-
-    def body(c, state):
-        t_best, id_best = state  # [RB,1] f32, [RB,1] i32
-        slot = jax.lax.rem(c, 2)
-        next_slot = jax.lax.rem(c + 1, 2)
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            chunk_dma(next_slot, c + 1).start()
-
-        chunk_dma(slot, c).wait()
-        v0, e1, e2 = tri_comps_rows(scratch[slot])       # [1,TC]
+    for c in range(n_chunks):  # static unroll: all slices lane-aligned
+        v0, e1, e2 = tri_comps_rows(tri_ref[:, c * tc:(c + 1) * tc])
         t = mt_plane(o, d, v0, e1, e2)                   # [RB,TC]
 
         t_min = jnp.min(t, axis=1, keepdims=True)        # [RB,1]
@@ -143,13 +127,9 @@ def _brute_kernel(o_ref, d_ref, tri_hbm, t_out, id_out, scratch, sems):
         idx = col + c * tc
 
         better = t_min < t_best
-        t_new = jnp.where(better, t_min, t_best)
-        id_new = jnp.where(better & (t_min < _BIG), idx, id_best)
-        return t_new, id_new
+        id_best = jnp.where(better & (t_min < _BIG), idx, id_best)
+        t_best = jnp.where(better, t_min, t_best)
 
-    t0 = jnp.full((rb, 1), _BIG, jnp.float32)
-    i0 = jnp.full((rb, 1), -1, jnp.int32)
-    t_best, id_best = jax.lax.fori_loop(0, n_chunks, body, (t0, i0))
     t_out[:, :] = jnp.transpose(jnp.where(id_best >= 0, t_best, jnp.inf))
     id_out[:, :] = jnp.transpose(id_best)
 
@@ -160,7 +140,7 @@ def _round_up(x: int, m: int) -> int:
 
 def pack_tri_rows(tri_v0, tri_e1, tri_e2, chunk: int):
     """[T,3]x3 -> [16, T_pad] component rows (v0|e1|e2 in rows 0..8),
-    padding columns degenerate. Chunk-aligned lane slices DMA cleanly."""
+    padding columns degenerate."""
     T = tri_v0.shape[0]
     T_pad = _round_up(max(T, chunk), chunk)
     data = jnp.zeros((16, T_pad), jnp.float32)
@@ -170,23 +150,9 @@ def pack_tri_rows(tri_v0, tri_e1, tri_e2, chunk: int):
     return data
 
 
-def pack_tri_cols(tri_v0, tri_e1, tri_e2, bundle: int):
-    """[B,3]x3 -> [B_pad, 128] rows (v0|e1|e2 in cols 0..8). Bundle row
-    slices (multiples of 8) DMA cleanly; full 128-lane rows satisfy the
-    lane tiling."""
-    B = tri_v0.shape[0]
-    B_pad = _round_up(max(B, bundle), bundle)
-    data = jnp.zeros((B_pad, 128), jnp.float32)
-    data = data.at[:B, 0:3].set(tri_v0)
-    data = data.at[:B, 3:6].set(tri_e1)
-    data = data.at[:B, 6:9].set(tri_e2)
-    return data
-
-
-@partial(jax.jit, static_argnames=("ray_block", "tri_chunk", "interpret"))
+@partial(jax.jit, static_argnames=("ray_block", "interpret"))
 def _intersect_pallas_impl(tri_data, orig, dirs,
                            ray_block: int = RAY_BLOCK,
-                           tri_chunk: int = TRI_CHUNK,
                            interpret: bool = False):
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
@@ -200,24 +166,22 @@ def _intersect_pallas_impl(tri_data, orig, dirs,
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ray_block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident all steps
 
     t, tri_id = pl.pallas_call(
         _brute_kernel,
         grid=grid,
-        in_specs=[ray_spec, ray_spec,
-                  pl.BlockSpec(memory_space=pltpu.ANY)],  # tris stay off-VMEM
+        in_specs=[ray_spec, ray_spec, tri_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((2, 16, tri_chunk), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(o3, d3, tri_data)
     return t[0, :N], tri_id[0, :N]
 
 
 def _auto_chunk(T: int) -> int:
-    """Small scenes use one lane-tile chunk; large scenes stream TRI_CHUNK."""
+    """Small scenes: one lane-tile chunk; large: TRI_CHUNK granularity."""
     return min(_round_up(max(T, 128), 128), TRI_CHUNK)
 
 
@@ -227,10 +191,17 @@ def intersect_brute_pallas(scene: Scene, orig: jax.Array, dirs: jax.Array,
     """Drop-in Pallas replacement for intersect_brute (same Hit contract).
 
     interpret=None auto-selects interpreter mode off-TPU (CPU tests).
+    Scenes beyond RESIDENT_MAX_TRIS should use the BVH backend (the engine
+    already routes anything >1k triangles there).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tc = _auto_chunk(scene.tri_v0.shape[0])
+    T = scene.tri_v0.shape[0]
+    if T > RESIDENT_MAX_TRIS:
+        raise ValueError(
+            f"{T} triangles exceed the resident-VMEM brute sweep budget "
+            f"({RESIDENT_MAX_TRIS}); use the BVH backend")
+    tc = _auto_chunk(T)
     tri_data = pack_tri_rows(jax.lax.stop_gradient(scene.tri_v0),
                              jax.lax.stop_gradient(scene.tri_e1),
                              jax.lax.stop_gradient(scene.tri_e2), tc)
@@ -238,7 +209,7 @@ def intersect_brute_pallas(scene: Scene, orig: jax.Array, dirs: jax.Array,
         tri_data,
         jax.lax.stop_gradient(orig),
         jax.lax.stop_gradient(dirs),
-        ray_block=ray_block, tri_chunk=tc, interpret=interpret)
+        ray_block=ray_block, interpret=interpret)
     # ids beyond the true (unpadded) triangle count are padding => miss
     valid = tri_id < scene.num_triangles
     return Hit(t=jnp.where(valid, t, jnp.inf),

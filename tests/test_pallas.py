@@ -54,7 +54,8 @@ def test_pallas_bvh_interpret(assets_dir, scene_name):
     scene, orig, dirs = _scene_rays(assets_dir, scene_name)
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
                        np.asarray(scene.tri_e2),
-                       np.asarray(scene.tri_valid), strategy=SAH)
+                       np.asarray(scene.tri_valid), strategy=SAH,
+                       leaf_size=128, leaf_width=128)
     h_ref = intersect_brute(scene, orig, dirs)
     h = make_bvh_intersect_pallas(bvh, scene)(scene, orig, dirs)
     _assert_hits_match(scene, h, h_ref)
