@@ -248,13 +248,18 @@ def _flatten(root: _Node, leaf_width: int):
 def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
               valid: Optional[np.ndarray] = None, *,
               strategy: str = MEDIAN, leaf_size: int = DEFAULT_LEAF,
-              leaf_width: Optional[int] = None) -> Tuple[BVH, BuildStats]:
+              leaf_width: Optional[int] = None,
+              builder: str = "auto") -> Tuple[BVH, BuildStats]:
     """Build a flattened BVH over (v0, e1, e2) triangles.
 
     `valid` masks out padding rows of the scene arrays. Returns device-ready
     BVH pytree + host build stats. Default MEDIAN matches the reference
     default Strategy (avx/sbvh.hpp:141); leaf geometry is COPIED into
     bundle order so the traversal reads contiguous slices.
+
+    builder: "auto" (native C++ when built, else NumPy), "native", "numpy".
+    Both builders implement the same algorithm; trees may differ only in
+    tie ordering (np.argpartition vs std::nth_element) — equally valid.
     """
     import jax.numpy as jnp
 
@@ -267,6 +272,25 @@ def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
     T = tri_v0.shape[0]
     if valid is None:
         valid = np.ones(T, bool)
+
+    if builder in ("auto", "native"):
+        from orion_tpu.native import bvh_build_native
+
+        out = bvh_build_native(tri_v0, tri_e1, tri_e2, np.asarray(valid),
+                               strategy=strategy, leaf_size=leaf_size,
+                               leaf_width=leaf_width)
+        if out is not None:
+            (n_lo, n_hi, n_skip, n_start, n_count, order,
+             max_depth, leaves) = out
+            stats = BuildStats(nodes=len(n_lo), leaves=int(leaves),
+                               max_depth=int(max_depth),
+                               padded_tris=len(order))
+            return _assemble(tri_v0, tri_e1, tri_e2, n_lo, n_hi, n_skip,
+                             n_start, n_count, order, leaf_width), stats
+        if builder == "native":
+            raise RuntimeError("native builder requested but the library "
+                               "is unavailable (make -C native)")
+
     ids = np.nonzero(np.asarray(valid))[0]
     if len(ids) == 0:
         raise ValueError("BVH over zero valid triangles")
@@ -281,14 +305,22 @@ def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
     root = _build_recursive(ids, lo, hi, cen, strategy, leaf_size, stats, 0)
     n_lo, n_hi, n_skip, n_start, n_count, order = _flatten(root, leaf_width)
 
+    stats.padded_tris = len(order)
+    return _assemble(tri_v0, tri_e1, tri_e2, n_lo, n_hi, n_skip, n_start,
+                     n_count, order, leaf_width), stats
+
+
+def _assemble(tri_v0, tri_e1, tri_e2, n_lo, n_hi, n_skip, n_start, n_count,
+              order, leaf_width: int) -> BVH:
+    import jax.numpy as jnp
+
     pad_rows = order < 0
     safe = np.where(pad_rows, 0, order)
     b_v0 = tri_v0[safe]
     b_e1 = np.where(pad_rows[:, None], 0.0, tri_e1[safe])  # degenerate pad
     b_e2 = np.where(pad_rows[:, None], 0.0, tri_e2[safe])
-    stats.padded_tris = len(order)
 
-    bvh = BVH(
+    return BVH(
         node_lo=jnp.asarray(n_lo), node_hi=jnp.asarray(n_hi),
         node_skip=jnp.asarray(n_skip), node_start=jnp.asarray(n_start),
         node_count=jnp.asarray(n_count),
@@ -297,4 +329,3 @@ def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
         tri_orig=jnp.asarray(np.where(pad_rows, -1, order).astype(np.int32)),
         num_nodes=len(n_lo), leaf_width=leaf_width,
     )
-    return bvh, stats
