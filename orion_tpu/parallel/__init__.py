@@ -2,6 +2,11 @@
 
 from orion_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
-    render_sharded,
     make_train_step,
+    render_sharded,
+    scene_params,
+)
+from orion_tpu.parallel.shardmap_render import (  # noqa: F401
+    make_train_step_shardmap,
+    render_shardmap,
 )

@@ -1,0 +1,122 @@
+"""shard_map multi-chip rendering: explicit per-chip Pallas kernel execution.
+
+Two multi-chip paths exist, with different trade-offs:
+
+  - parallel/sharding.py (GSPMD): sharding constraints + XLA's partitioner.
+    Keeps *global* RNG semantics (same key => bit-identical image on any
+    device count), but cannot partition an opaque Pallas custom call — so
+    it is limited to the jnp intersection backends.
+
+  - this module (shard_map): each chip explicitly runs the full wavefront
+    (including the Pallas brute/BVH kernels) on its ray shard, with the
+    scene (geometry, BVH, materials) replicated in every chip's HBM —
+    zero forward collectives, exactly the reference's embarrassingly
+    parallel pixel decomposition (raytracer.cpp:69-88) lifted to chips.
+    Per-shard RNG decorrelation folds the mesh axis index into the key,
+    so images are deterministic per (seed, device count) but not
+    bit-identical across device counts (documented divergence from the
+    GSPMD path).
+
+The differentiable path also works here: Pallas intersections are
+forward-only by construction (ids detached, hit_attributes recomputes),
+and shard_map transposes replicated inputs with an automatic psum — the
+scene-parameter gradient all-reduce rides ICI without explicit
+collectives in user code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from orion_tpu.camera import Camera, primary_rays
+from orion_tpu.parallel.sharding import RAY_AXIS, apply_params, make_mesh
+from orion_tpu.render import IntersectFn, trace_wavefront
+from orion_tpu.scene import Scene
+
+
+@partial(jax.jit,
+         static_argnames=("samples", "max_depth", "light_samples", "mode",
+                          "mesh", "intersect"))
+def _render_shardmap_impl(scene: Scene, camera: Camera, key: jax.Array, *,
+                          samples: int, max_depth: int, light_samples: int,
+                          mode: Optional[str], mesh: Mesh,
+                          intersect: Optional[IntersectFn]) -> jax.Array:
+    H, W = camera.yres, camera.xres
+    n_dev = mesh.devices.size
+    px, py = 2.0 / W, 2.0 / H
+    N = H * W
+    pad = (-N) % n_dev
+
+    # check_vma=False: pallas_call out_shapes don't carry varying-mesh-axis
+    # metadata, and every output here is trivially ray-sharded anyway
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+             out_specs=P(RAY_AXIS), check_vma=False)
+    def trace_shard(scene_rep, orig, dirs, k):
+        # decorrelate shards: every chip traces its rays with its own key
+        k = jax.random.fold_in(k, jax.lax.axis_index(RAY_AXIS))
+        return trace_wavefront(scene_rep, orig, dirs, k,
+                               max_depth=max_depth,
+                               light_samples=light_samples, mode=mode,
+                               intersect=intersect)
+
+    def sample_body(acc, s):
+        k_jit, k_trace = jax.random.split(jax.random.fold_in(key, s))
+        jit2 = jax.random.uniform(k_jit, (2,))
+        orig, dirs = primary_rays(camera, jit2[0] * px, jit2[1] * py)
+        if pad:
+            orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
+            dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+        radiance = trace_shard(scene, orig, dirs, k_trace)
+        return acc + radiance[:N].reshape(H, W, 3), None
+
+    acc, _ = jax.lax.scan(sample_body, jnp.zeros((H, W, 3), jnp.float32),
+                          jnp.arange(samples))
+    return acc / float(samples)
+
+
+def render_shardmap(scene: Scene, camera: Camera, key: jax.Array, *,
+                    mesh: Optional[Mesh] = None, samples: int = 1,
+                    max_depth: int = 1, light_samples: int = 2,
+                    mode: Optional[str] = None,
+                    intersect: Optional[IntersectFn] = None) -> jax.Array:
+    """Render with rays sharded over `mesh` via shard_map (default: all
+    devices); `intersect` may be any backend, including Pallas kernels."""
+    if mesh is None:
+        mesh = make_mesh()
+    return _render_shardmap_impl(scene, camera, key, samples=samples,
+                                 max_depth=max_depth,
+                                 light_samples=light_samples, mode=mode,
+                                 mesh=mesh, intersect=intersect)
+
+
+def make_train_step_shardmap(scene: Scene, camera: Camera, mesh: Mesh, *,
+                             samples: int = 1, max_depth: int = 2,
+                             light_samples: int = 1,
+                             mode: Optional[str] = None, lr: float = 1e-2,
+                             intersect: Optional[IntersectFn] = None):
+    """SGD step with shard_map forward: rays shard per chip, the backward
+    pass all-reduces replicated scene-parameter grads automatically (the
+    transpose of a replicated shard_map input is a psum over the mesh)."""
+
+    def loss_fn(params, key, target):
+        s = apply_params(scene, params)
+        img = _render_shardmap_impl(s, camera, key, samples=samples,
+                                    max_depth=max_depth,
+                                    light_samples=light_samples, mode=mode,
+                                    mesh=mesh, intersect=intersect)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def train_step(params: Dict[str, jax.Array], key, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, target)
+        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                            params, grads)
+        return new_params, loss
+
+    return train_step
