@@ -24,7 +24,8 @@ Memory plan:
     offset is provably 128-aligned (pl.multiple_of) — the only dynamic
     lane slice Mosaic accepts. (A DMA-per-leaf variant measured ~5x
     slower: leaf visits are latency-bound.)
-  - rays arrive as [3, N] component rows, blocked to [3, RB].
+  - rays arrive as one [N, 8] row-per-ray array, blocked to [RB, 8];
+    components are static column slices (no transposes).
 """
 
 from __future__ import annotations
@@ -39,8 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH
 from orion_tpu.ops.intersect import Hit
-from orion_tpu.ops.pallas_intersect import (mt_plane, pack_tri_rows,
-                                            ray_comps_T, tri_comps_rows)
+from orion_tpu.ops.pallas_intersect import (mt_plane, pack_rays8,
+                                            pack_tri_rows, ray_comps,
+                                            tri_comps_rows)
 
 RAY_BLOCK = 1024
 LEAF_WIDTH = 128  # pinned: leaf lane offsets must be 128-aligned
@@ -52,9 +54,9 @@ def _make_kernel(M: int, W: int):
     assert W == LEAF_WIDTH
 
     def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start,
-               o_ref, d_ref, tri_ref,
+               r_ref, tri_ref,
                t_out, id_out):
-        o, d = ray_comps_T(o_ref, d_ref)                 # [RB,1] comps
+        o, d = ray_comps(r_ref)                          # [RB,1] comps
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
 
         col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -107,14 +109,13 @@ def _make_kernel(M: int, W: int):
         def cond(carry):
             return carry[0] < M
 
-        rb = o_ref.shape[1]
+        rb = r_ref.shape[0]
         t0 = jnp.full((rb, 1), _BIG, jnp.float32)
         i0 = jnp.full((rb, 1), -1, jnp.int32)
         ptr0 = jnp.int32(0)
         _, t_best, col_best = jax.lax.while_loop(cond, body, (ptr0, t0, i0))
-        t_out[:, :] = jnp.transpose(
-            jnp.where(col_best >= 0, t_best, jnp.inf))
-        id_out[:, :] = jnp.transpose(col_best)
+        t_out[:, :] = jnp.where(col_best >= 0, t_best, jnp.inf)
+        id_out[:, :] = col_best
 
     return kernel
 
@@ -132,33 +133,32 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    o3 = jnp.pad(orig.T, ((0, 0), (0, N_pad - N)))
-    d3 = jnp.pad(dirs.T, ((0, 0), (0, N_pad - N)), constant_values=1.0)
+    rays8 = pack_rays8(orig, dirs, N_pad)
 
     grid = (N_pad // ray_block,)
     kernel = _make_kernel(num_nodes, leaf_width)
 
-    ray_spec = pl.BlockSpec((3, ray_block), lambda i, *_: (0, i),
+    ray_spec = pl.BlockSpec((ray_block, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+    out_spec = pl.BlockSpec((ray_block, 1), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident bundles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(node_scalars),
         grid=grid,
-        in_specs=[ray_spec, ray_spec, tri_spec],
+        in_specs=[ray_spec, tri_spec],
         out_specs=(out_spec, out_spec),
     )
 
     t, row = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((N_pad, 1), jnp.int32)),
         interpret=interpret,
-    )(*node_scalars, o3, d3, tri_data)
-    return t[0, :N], row[0, :N]
+    )(*node_scalars, rays8, tri_data)
+    return t[:N, 0], row[:N, 0]
 
 
 def _bvh_device_layout(bvh: BVH):

@@ -10,9 +10,10 @@ registers, so the O(rays x triangles) intermediate planes never touch HBM
 
 Memory design (chosen against Mosaic's alignment rules — lane slices must
 be 128-aligned and *statically provable*):
-  - rays arrive as [3, N] component rows (sublanes=3of8, lanes=rays); one
-    [3,RB] -> [RB,3] transpose per grid step yields [RB,1] components with
-    no strided XLA-level slices;
+  - rays arrive as ONE [N, 8] row-per-ray array (ox oy oz dx dy dz 0 0);
+    a [RB, 8] block yields [RB, 1] components as *static* column slices —
+    no transposes, no strided XLA-level slices (a per-grid-step [3,RB]
+    transpose variant measured 2x slower end-to-end);
   - triangle data is ONE [16, T_pad] array (component rows v0|e1|e2 in
     rows 0..8) resident in VMEM; the chunk loop is unrolled in Python so
     every chunk slice [:, c*TC:(c+1)*TC] is static. Residency costs
@@ -85,13 +86,22 @@ def mt_plane(o, d, v0, e1, e2):
     return jnp.where(ok, t, _BIG)
 
 
-def ray_comps_T(o_ref, d_ref):
-    """[3,RB] ray refs -> ([RB,1] o comps, [RB,1] d comps), one transpose."""
-    oT = jnp.transpose(o_ref[:, :])
-    dT = jnp.transpose(d_ref[:, :])
-    o = (oT[:, 0:1], oT[:, 1:2], oT[:, 2:3])
-    d = (dT[:, 0:1], dT[:, 1:2], dT[:, 2:3])
+def ray_comps(r_ref):
+    """[RB,8] ray block -> ([RB,1] o comps, [RB,1] d comps), static slices."""
+    o = (r_ref[:, 0:1], r_ref[:, 1:2], r_ref[:, 2:3])
+    d = (r_ref[:, 3:4], r_ref[:, 4:5], r_ref[:, 5:6])
     return o, d
+
+
+def pack_rays8(orig, dirs, n_pad: int):
+    """[N,3]x2 -> [N_pad, 8] rows (ox oy oz dx dy dz 0 0); padding rows get
+    dir=(1,1,1) so padded lanes do harmless work."""
+    N = orig.shape[0]
+    data = jnp.zeros((n_pad, 8), jnp.float32)
+    data = data.at[:N, 0:3].set(orig)
+    data = data.at[:N, 3:6].set(dirs)
+    data = data.at[N:, 3:6].set(1.0)
+    return data
 
 
 def tri_comps_rows(block):
@@ -102,14 +112,14 @@ def tri_comps_rows(block):
     return v0, e1, e2
 
 
-def _brute_kernel(o_ref, d_ref, tri_ref, t_out, id_out):
+def _brute_kernel(r_ref, tri_ref, t_out, id_out):
     """One grid step: RAY_BLOCK rays vs ALL triangle chunks (unrolled)."""
     T_pad = tri_ref.shape[1]
     tc = min(T_pad, TRI_CHUNK)
     n_chunks = T_pad // tc
-    rb = o_ref.shape[1]
+    rb = r_ref.shape[0]
 
-    o, d = ray_comps_T(o_ref, d_ref)
+    o, d = ray_comps(r_ref)
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
 
@@ -130,8 +140,8 @@ def _brute_kernel(o_ref, d_ref, tri_ref, t_out, id_out):
         id_best = jnp.where(better & (t_min < _BIG), idx, id_best)
         t_best = jnp.where(better, t_min, t_best)
 
-    t_out[:, :] = jnp.transpose(jnp.where(id_best >= 0, t_best, jnp.inf))
-    id_out[:, :] = jnp.transpose(id_best)
+    t_out[:, :] = jnp.where(id_best >= 0, t_best, jnp.inf)
+    id_out[:, :] = id_best
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,27 +167,25 @@ def _intersect_pallas_impl(tri_data, orig, dirs,
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    # rays as [3, N] component rows
-    o3 = jnp.pad(orig.T, ((0, 0), (0, N_pad - N)))
-    d3 = jnp.pad(dirs.T, ((0, 0), (0, N_pad - N)), constant_values=1.0)
+    rays8 = pack_rays8(orig, dirs, N_pad)
 
     grid = (N_pad // ray_block,)
-    ray_spec = pl.BlockSpec((3, ray_block), lambda i: (0, i),
+    ray_spec = pl.BlockSpec((ray_block, 8), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ray_block), lambda i: (0, i),
+    out_spec = pl.BlockSpec((ray_block, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident all steps
 
     t, tri_id = pl.pallas_call(
         _brute_kernel,
         grid=grid,
-        in_specs=[ray_spec, ray_spec, tri_spec],
+        in_specs=[ray_spec, tri_spec],
         out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((N_pad, 1), jnp.int32)),
         interpret=interpret,
-    )(o3, d3, tri_data)
-    return t[0, :N], tri_id[0, :N]
+    )(rays8, tri_data)
+    return t[:N, 0], tri_id[:N, 0]
 
 
 def _auto_chunk(T: int) -> int:
