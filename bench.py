@@ -8,6 +8,10 @@ depth 8, light samples 2 — the reference's path-tracing mode,
 raytracer.cpp:131-194). The baseline anchor is the reference CPU's 0.83M
 primary rays/s derived from its published 1920x1080 @2048spp render in
 5126.4 s (README.md:40-46).
+
+Timing methodology: several back-to-back dispatches with ONE value fetch
+at the end — on the tunneled TPU, block_until_ready alone does not force
+execution, so naive per-call timing under-reports.
 """
 
 import json
@@ -18,52 +22,66 @@ BASELINE_PRIMARY_RAYS_PER_S = 0.83e6  # reference CPU anchor (BASELINE.md)
 ASSETS = "/root/reference/assets"
 
 
-def run_config(name, rtc, xres, yres, samples, depth, light_samples,
-               iters=3, mode=None):
+def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters):
     import jax
+    import jax.numpy as jnp
 
-    from orion_tpu.engine import prepare
     from orion_tpu.render import render
 
-    ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres)
     key = jax.random.key(0)
 
     def go():
-        img = render(ps.scene, ps.camera, key, samples=samples,
-                     max_depth=depth, light_samples=light_samples,
-                     mode=mode, intersect=ps.intersect)
-        img.block_until_ready()
-        return img
+        return render(ps.scene, ps.camera, key, samples=samples,
+                      max_depth=depth, light_samples=light_samples,
+                      mode=mode, intersect=ps.intersect)
 
-    img = go()  # compile + warmup
-    assert bool(jax.numpy.isfinite(img).all()), f"non-finite radiance: {name}"
+    img = go()
+    assert bool(jnp.isfinite(img).all()), "non-finite radiance"
+    _ = float(jnp.sum(img))  # force warmup execution
     t0 = time.perf_counter()
     for _ in range(iters):
-        go()
-    dt = (time.perf_counter() - t0) / iters
-    primary = xres * yres * samples
-    return {
-        "name": name,
-        "backend": ps.backend,
-        "seconds": round(dt, 4),
-        "primary_rays_per_s": round(primary / dt, 1),
-    }
+        img = go()
+    _ = float(jnp.sum(img))  # drain the in-order queue
+    return (time.perf_counter() - t0) / iters
+
+
+def run_config(name, rtc, xres, yres, samples, depth, light_samples,
+               iters=3, mode=None, backends=(None,)):
+    """Render with each candidate backend; keep the fastest."""
+    from orion_tpu.engine import prepare
+
+    best = None
+    for force in backends:
+        try:
+            ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
+                         force_backend=force)
+            dt = _time_render(ps, xres, yres, samples, depth, light_samples,
+                              mode, iters)
+        except Exception as e:
+            print(f"[bench] {name} backend {force}: {e!r}", file=sys.stderr)
+            continue
+        if best is None or dt < best["seconds"]:
+            best = {"name": name, "backend": ps.backend,
+                    "seconds": round(dt, 4),
+                    "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
+    if best is None:
+        raise RuntimeError(f"all backends failed for {name}")
+    return best
 
 
 def main():
     headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
-                          512, 512, 16, 8, 2)
+                          512, 512, 16, 8, 2,
+                          backends=("brute-jnp", "brute-pallas"))
     details = [headline]
     try:
-        details.append(run_config("cornell_whitted_256_1spp",
-                                  "cornell-box.rtc", 256, 256, 1, 1, 2,
-                                  iters=5, mode="whitted"))
         details.append(run_config("nanosuit_whitted_1024_4spp",
                                   "nanosuit.rtc", 1024, 1024, 4, 2, 1,
-                                  iters=2))
+                                  iters=2,
+                                  backends=("bvh-pallas", "bvh-jnp")))
         details.append(run_config("view_test_path_512_4spp",
                                   "view_test.rtc", 512, 512, 4, 4, 2,
-                                  iters=3))
+                                  backends=(None,)))
     except Exception as e:  # secondary configs must not break the headline
         details.append({"error": repr(e)})
 

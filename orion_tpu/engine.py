@@ -32,9 +32,8 @@ from orion_tpu.render import IntersectFn
 from orion_tpu.scene import Scene, load_scene
 
 BRUTE_MAX_TRIS = 1024
-# Pallas packet-traversal tuning (nanosuit 512x512 sweep, 2026-08):
-# leaf_width pinned to 128 by the kernel's lane-alignment requirement
-TPU_LEAF_SIZE = 128
+# Pallas packet-traversal tuning (nanosuit 512x512 sweeps, 2026-08)
+TPU_LEAF_SIZE = 64
 TPU_RAY_BLOCK = 1024
 
 
@@ -56,14 +55,20 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
                      force: Optional[str] = None):
     """Choose (intersect_fn, backend_name, bvh, stats) for a scene.
 
-    force: "brute" | "bvh" overrides the size heuristic.
+    force: "brute" | "bvh" overrides the size heuristic; the fully
+    qualified forms "brute-jnp" | "brute-pallas" | "bvh-jnp" |
+    "bvh-pallas" also pin the implementation.
     """
     on_tpu = jax.default_backend() == "tpu"
+    force_impl = None
+    if force and "-" in force:
+        force, force_impl = force.split("-", 1)
     want_bvh = (scene.num_triangles > BRUTE_MAX_TRIS
                 if force is None else force == "bvh")
 
     if not want_bvh:
-        if on_tpu:
+        use_pallas = on_tpu if force_impl is None else force_impl == "pallas"
+        if use_pallas:
             from orion_tpu.ops.pallas_intersect import intersect_brute_pallas
 
             return intersect_brute_pallas, "brute-pallas", None, None
@@ -84,11 +89,16 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
                                np.asarray(scene.tri_e2),
                                np.asarray(scene.tri_valid),
                                strategy=strategy, leaf_size=DEFAULT_LEAF)
-    if on_tpu:
-        from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
+    use_pallas = on_tpu if force_impl is None else force_impl == "pallas"
+    if use_pallas:
+        from orion_tpu.ops.pallas_bvh import (RESIDENT_MAX_BUNDLED,
+                                              make_bvh_intersect_pallas)
 
-        fn = make_bvh_intersect_pallas(bvh, scene, ray_block=TPU_RAY_BLOCK)
-        return fn, "bvh-pallas", bvh, stats
+        if bvh.num_bundled <= RESIDENT_MAX_BUNDLED or not on_tpu:
+            fn = make_bvh_intersect_pallas(bvh, scene,
+                                           ray_block=TPU_RAY_BLOCK)
+            return fn, "bvh-pallas", bvh, stats
+        # very large scenes: bundles exceed the VMEM residency cap
     from orion_tpu.ops.bvh_traverse import make_bvh_intersect
 
     return make_bvh_intersect(bvh), "bvh-jnp", bvh, stats
