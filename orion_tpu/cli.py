@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override rtc x resolution")
     p.add_argument("--yres", type=int, default=None,
                    help="Override rtc y resolution")
+    p.add_argument("--normal-maps", action="store_true",
+                   help="Enable tangent-space normal mapping (the reference "
+                        "ships this disabled; PARITY.md)")
     p.add_argument("--checkpoint", default=None,
                    help="Checkpoint file for resumable accumulation "
                         "(resumes if it exists; see io/checkpoint.py)")
@@ -82,10 +85,13 @@ def main(argv=None) -> int:
                                 path=args.checkpoint,
                                 every=args.checkpoint_every)
     else:
-        img = render_prepared(ps, key, samples=args.samples,
-                              light_samples=args.light_samples,
-                              max_depth=max_depth, mode=args.mode)
-        img = np.asarray(img)
+        from orion_tpu.render import render
+
+        img = np.asarray(render(
+            ps.scene, ps.camera, key, samples=args.samples,
+            light_samples=args.light_samples, max_depth=max_depth,
+            mode=args.mode, intersect=ps.intersect,
+            normal_maps=args.normal_maps))
     dt = time.perf_counter() - t0
 
     save_image(args.output, img)

@@ -211,3 +211,35 @@ def hit_attributes(scene: Scene, orig: jax.Array, dirs: jax.Array,
 
     return HitAttrs(t=t, u=u, v=v, point=point, g_normal=g_n, s_normal=s_n,
                     uv=uv, mat_id=mat_id, mesh_id=mat_id)
+
+
+def tangent_frame(scene: Scene, hit: Hit):
+    """Per-hit UV-space tangent/bitangent for normal mapping.
+
+    Standard derivation from edge vectors and UV deltas:
+      T = (e1*dv2 - e2*dv1) / det,  B = (e2*du1 - e1*du2) / det,
+      det = du1*dv2 - du2*dv1  (Assimp's CalcTangentSpace equivalent;
+      the reference requested that flag at import, model.cpp:23-29, but its
+      Vertex dropped the tangents "AD 2019", vertex.hpp:16-20).
+    Degenerate UV mappings fall back to an arbitrary frame.
+    """
+    idx = jnp.maximum(hit.tri_id, 0)
+    table = jnp.concatenate(
+        [scene.tri_e1, scene.tri_e2, scene.uv0, scene.uv1, scene.uv2],
+        axis=1)
+    rows = take_rows(table, idx)
+    e1, e2 = rows[:, 0:3], rows[:, 3:6]
+    uv0, uv1, uv2 = rows[:, 6:8], rows[:, 8:10], rows[:, 10:12]
+    du1 = (uv1 - uv0)[:, 0]
+    dv1 = (uv1 - uv0)[:, 1]
+    du2 = (uv2 - uv0)[:, 0]
+    dv2 = (uv2 - uv0)[:, 1]
+    det = du1 * dv2 - du2 * dv1
+    safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    inv = (1.0 / safe)[:, None]
+    tangent = (e1 * dv2[:, None] - e2 * dv1[:, None]) * inv
+    bitangent = (e2 * du1[:, None] - e1 * du2[:, None]) * inv
+    ok = (jnp.abs(det) > 1e-12)[:, None]
+    tangent = jnp.where(ok, tangent, e1)
+    bitangent = jnp.where(ok, bitangent, e2)
+    return tangent, bitangent

@@ -124,6 +124,28 @@ def color_brdf(scene: Scene, mat_id: jax.Array, uv: jax.Array,
     return light_color * kd * (geom * light_intensity / (1.0 + d2))[:, None]
 
 
+def perturb_normal(scene: Scene, mat_id: jax.Array, uv: jax.Array,
+                   normal: jax.Array, tangent: jax.Array,
+                   bitangent: jax.Array) -> jax.Array:
+    """Tangent-space normal mapping (Material::normalBumpMap,
+    material.cpp:4-24 — implemented in the reference but its call site is
+    commented out, model.hpp:21-22; here it's an opt-in render flag).
+
+    Materials without a bump map keep their interpolated normal.
+    """
+    map_idx = scene.mat_map_bump[mat_id]
+    n_ts = sample_texture(scene, map_idx, uv,
+                          jnp.broadcast_to(jnp.array([0.5, 0.5, 1.0],
+                                                     normal.dtype),
+                                           normal.shape))
+    n_ts = normalize(n_ts * 2.0 - 1.0)
+    t = normalize(tangent)
+    b = normalize(bitangent)
+    n = normalize(normal)
+    mapped = (t * n_ts[:, 0:1] + b * n_ts[:, 1:2] + n * n_ts[:, 2:3])
+    return jnp.where((map_idx >= 0)[:, None], normalize(mapped), n)
+
+
 def cosine_sample(normal: jax.Array, u1: jax.Array, u2: jax.Array,
                   reference_frame: bool = False) -> jax.Array:
     """Cosine-weighted hemisphere sample around `normal` (normalized [N,3]).

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from orion_tpu.camera import Camera, primary_rays
 from orion_tpu.ops import shade
-from orion_tpu.ops.intersect import Hit, hit_attributes, intersect_brute
+from orion_tpu.ops.intersect import (Hit, hit_attributes, intersect_brute,
+                                     tangent_frame)
 from orion_tpu.scene import Scene
 
 # bias to move rays off surfaces (raytracer.cpp:118)
@@ -99,13 +100,26 @@ def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
     return total
 
 
+def _apply_normal_maps(scene: Scene, attrs, hit):
+    """Opt-in tangent-space normal mapping (PARITY.md: the reference ships
+    this disabled; render(..., normal_maps=True) enables it here)."""
+    import dataclasses
+
+    tangent, bitangent = tangent_frame(scene, hit)
+    s_n = shade.perturb_normal(scene, attrs.mat_id, attrs.uv,
+                               attrs.s_normal, tangent, bitangent)
+    return dataclasses.replace(attrs, s_normal=s_n)
+
+
 def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
                  max_depth: int, intersect: IntersectFn,
-                 reference_frame: bool):
+                 reference_frame: bool, normal_maps: bool = False):
     """One path-tracing wavefront step (raytracer.cpp:105-194, BRDF branch)."""
     orig, dirs, throughput, alive = carry
     hit = intersect(scene, orig, dirs)
     attrs = hit_attributes(scene, orig, dirs, hit)
+    if normal_maps:
+        attrs = _apply_normal_maps(scene, attrs, hit)
     hit_mask = alive & hit.mask
 
     radiance = jnp.zeros_like(throughput)
@@ -144,11 +158,13 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
 
 
 def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
-                    intersect: IntersectFn):
+                    intersect: IntersectFn, normal_maps: bool = False):
     """One Whitted wavefront step (raytracer.cpp:195-207)."""
     orig, dirs, throughput, alive = carry
     hit = intersect(scene, orig, dirs)
     attrs = hit_attributes(scene, orig, dirs, hit)
+    if normal_maps:
+        attrs = _apply_normal_maps(scene, attrs, hit)
     hit_mask = alive & hit.mask
 
     radiance = jnp.zeros_like(throughput)
@@ -189,11 +205,13 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     key: jax.Array, *, max_depth: int, light_samples: int = 2,
                     mode: Optional[str] = None,
                     intersect: Optional[IntersectFn] = None,
-                    reference_frame: bool = False) -> jax.Array:
+                    reference_frame: bool = False,
+                    normal_maps: bool = False) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     mode: "path" | "whitted" | None (auto: whitted iff the scene has point
-    lights, matching raytracer.cpp:131).
+    lights, matching raytracer.cpp:131). normal_maps enables tangent-space
+    bump mapping (off by default — PARITY.md).
     """
     if mode is None:
         mode = "whitted" if scene.num_lights > 0 else "path"
@@ -208,10 +226,12 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     if mode == "path":
         def body(carry, depth):
             return _path_bounce(scene, carry, depth, key, light_samples,
-                                max_depth, intersect, reference_frame)
+                                max_depth, intersect, reference_frame,
+                                normal_maps)
     elif mode == "whitted":
         def body(carry, depth):
-            return _whitted_bounce(scene, carry, depth, max_depth, intersect)
+            return _whitted_bounce(scene, carry, depth, max_depth, intersect,
+                                   normal_maps)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -221,14 +241,16 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
 
 @partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
                                    "mode", "intersect", "reference_frame",
-                                   "shared_jitter", "sample_offset"))
+                                   "shared_jitter", "sample_offset",
+                                   "normal_maps"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
            intersect: Optional[IntersectFn] = None,
            reference_frame: bool = False,
            shared_jitter: bool = True,
-           sample_offset: int = 0) -> jax.Array:
+           sample_offset: int = 0,
+           normal_maps: bool = False) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -257,7 +279,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
                                    max_depth=max_depth,
                                    light_samples=light_samples, mode=mode,
                                    intersect=intersect,
-                                   reference_frame=reference_frame)
+                                   reference_frame=reference_frame,
+                                   normal_maps=normal_maps)
         return acc + radiance.reshape(H, W, 3), None
 
     acc0 = jnp.zeros((H, W, 3), jnp.float32)

@@ -76,6 +76,7 @@ class Scene:
     # texture maps: -1 = use solid color
     mat_map_diffuse: jax.Array   # [M] int32
     mat_map_specular: jax.Array  # [M] int32
+    mat_map_bump: jax.Array      # [M] int32 (tangent-space normal map)
     tex_stack: jax.Array  # [I, Hmax, Wmax, 3] float32
     tex_hw: jax.Array     # [I, 2] int32 (h, w)
     # emissive meshes (for NEE); padded with id -1
@@ -144,7 +145,8 @@ def build_scene(
         return len(tex_paths) - 1
 
     mat_rows = dict(ambient=[], diffuse=[], specular=[], emissive=[],
-                    shininess=[], opacity=[], map_diffuse=[], map_specular=[])
+                    shininess=[], opacity=[], map_diffuse=[], map_specular=[],
+                    map_bump=[])
 
     t_cursor = 0
     for mesh_id, mesh in enumerate(meshes):
@@ -168,6 +170,7 @@ def build_scene(
         mat_rows["opacity"].append(m.opacity)
         mat_rows["map_diffuse"].append(register_texture(m.map_diffuse))
         mat_rows["map_specular"].append(register_texture(m.map_specular))
+        mat_rows["map_bump"].append(register_texture(m.map_bump))
         if m.is_emissive:
             emissive_ids.append(mesh_id)
 
@@ -230,6 +233,7 @@ def build_scene(
         mat_opacity=jarr(np.array(mat_rows["opacity"], np.float32)),
         mat_map_diffuse=jarr(np.array(mat_rows["map_diffuse"], np.int32)),
         mat_map_specular=jarr(np.array(mat_rows["map_specular"], np.int32)),
+        mat_map_bump=jarr(np.array(mat_rows["map_bump"], np.int32)),
         tex_stack=jarr(stack), tex_hw=jarr(hw),
         emissive_mesh_ids=jarr(em_ids),
         light_pos=jarr(light_pos), light_color=jarr(light_color),

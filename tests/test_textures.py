@@ -23,8 +23,10 @@ def test_texture_maps_registered(nanosuit_textured):
     # registered images are deduped and sized
     hw = np.asarray(scene.tex_hw)
     spec = np.asarray(scene.mat_map_specular)
+    bump = np.asarray(scene.mat_map_bump)
     uniq = len(np.unique(np.concatenate([maps[maps >= 0],
-                                         spec[spec >= 0]])))
+                                         spec[spec >= 0],
+                                         bump[bump >= 0]])))
     assert scene.tex_stack.shape[0] == uniq  # deduped by path
     assert (hw[:, 0] > 0).all() and (hw[:, 1] > 0).all()
 
@@ -77,3 +79,29 @@ def test_textured_render_differs_from_untextured(assets_dir, nanosuit_textured):
                                   max_depth=1))
     assert np.isfinite(img_tex).all()
     assert np.abs(img_tex - img_plain).max() > 1e-3
+
+
+def test_normal_mapping_changes_shading(assets_dir):
+    """Opt-in bump mapping (PARITY.md): hindu has a map_Bump; enabling it
+    must change lighting while staying finite; scenes without bump maps
+    must be unaffected."""
+    from orion_tpu.engine import prepare
+    from orion_tpu.render import render
+
+    ps = prepare(assets_dir / "hindu.rtc", xres=48, yres=27)
+    assert (np.asarray(ps.scene.mat_map_bump) >= 0).any()
+    key = jax.random.key(0)
+    base = np.asarray(render(ps.scene, ps.camera, key, samples=1,
+                             max_depth=1, intersect=ps.intersect))
+    bumped = np.asarray(render(ps.scene, ps.camera, key, samples=1,
+                               max_depth=1, intersect=ps.intersect,
+                               normal_maps=True))
+    assert np.isfinite(bumped).all()
+    assert np.abs(bumped - base).max() > 1e-3
+
+    ps2 = prepare(assets_dir / "cornell-box.rtc", xres=24, yres=16)
+    a = np.asarray(render(ps2.scene, ps2.camera, key, samples=1, max_depth=2,
+                          intersect=ps2.intersect))
+    b = np.asarray(render(ps2.scene, ps2.camera, key, samples=1, max_depth=2,
+                          intersect=ps2.intersect, normal_maps=True))
+    np.testing.assert_allclose(b, a, atol=1e-6)
