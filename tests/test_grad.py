@@ -162,3 +162,32 @@ def test_grads_finite_everywhere(cornell_scene):
     # at least diffuse and emissive must receive signal
     assert np.abs(np.asarray(grads["mat_diffuse"])).max() > 0
     assert np.abs(np.asarray(grads["mat_emissive"])).max() > 0
+
+
+def test_grad_backend_agreement(cornell_scene):
+    """Gradients must be identical across intersection backends: the
+    discrete hit ids agree (same nearest hits), and everything
+    differentiable is recomputed by hit_attributes at those fixed ids."""
+    from orion_tpu.accel.bvh import SAH, build_bvh
+    from orion_tpu.ops.bvh_traverse import make_bvh_intersect
+    from orion_tpu.ops.intersect import intersect_brute
+
+    scene, rtc = cornell_scene
+    rtc.xres, rtc.yres = 12, 8
+    cam = camera_from_rtc(rtc)
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=SAH)
+
+    def make_loss(intersect):
+        def loss(kd):
+            s = dataclasses.replace(scene, mat_diffuse=kd)
+            return jnp.sum(render(s, cam, jax.random.key(2), samples=1,
+                                  max_depth=2, light_samples=1,
+                                  intersect=intersect))
+        return loss
+
+    g_brute = jax.grad(make_loss(intersect_brute))(scene.mat_diffuse)
+    g_bvh = jax.grad(make_loss(make_bvh_intersect(bvh)))(scene.mat_diffuse)
+    np.testing.assert_allclose(np.asarray(g_bvh), np.asarray(g_brute),
+                               rtol=1e-4, atol=1e-6)
