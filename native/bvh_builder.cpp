@@ -46,6 +46,7 @@ struct Node {
   int32_t right = -1;
   int64_t leaf_begin = -1;  // into the ids array
   int64_t leaf_count = 0;
+  int axis = 0;  // split axis (internal nodes)
 };
 
 struct Builder {
@@ -111,6 +112,7 @@ int32_t Builder::build(int64_t begin, int64_t end, int depth) {
   if (ext[1] > ext[axis]) axis = 1;
   if (ext[2] > ext[axis]) axis = 2;
 
+  nodes[me].axis = axis;
   int64_t mid = begin + n / 2;
   auto median_split = [&]() {
     std::nth_element(ids.begin() + begin, ids.begin() + mid,
@@ -224,7 +226,8 @@ struct Flat {
   int64_t leaves = 0;
 };
 
-static void flatten(const Builder& b, int32_t ni, Flat* f, int leaf_width) {
+static void flatten(const Builder& b, int32_t ni, Flat* f, int leaf_width,
+                    const float* order_signs) {
   size_t i = f->node_skip.size();
   const Node& node = b.nodes[ni];
   f->node_lo.insert(f->node_lo.end(), {node.lo.x, node.lo.y, node.lo.z});
@@ -241,8 +244,14 @@ static void flatten(const Builder& b, int32_t ni, Flat* f, int leaf_width) {
   } else {
     f->node_start.push_back(-1);
     f->node_count.push_back(0);
-    flatten(b, node.left, f, leaf_width);
-    flatten(b, node.right, f, leaf_width);
+    // near-first child order for the dominant ray-direction octant
+    if (order_signs[node.axis] >= 0.0f) {
+      flatten(b, node.left, f, leaf_width, order_signs);
+      flatten(b, node.right, f, leaf_width, order_signs);
+    } else {
+      flatten(b, node.right, f, leaf_width, order_signs);
+      flatten(b, node.left, f, leaf_width, order_signs);
+    }
   }
   f->node_skip[i] = static_cast<int32_t>(f->node_skip.size());
 }
@@ -259,6 +268,7 @@ extern "C" {
 void* orion_bvh_build(const float* v0, const float* e1, const float* e2,
                       const uint8_t* valid, int64_t T, int strategy,
                       int leaf_size, int leaf_width,
+                      const float* order_signs,
                       int64_t* out_num_nodes, int64_t* out_num_bundled,
                       int32_t* out_max_depth, int64_t* out_leaves) {
   if (leaf_size > leaf_width || T <= 0) return nullptr;
@@ -293,7 +303,7 @@ void* orion_bvh_build(const float* v0, const float* e1, const float* e2,
   auto* h = new Handle();
   h->flat.max_depth = b.max_depth;
   h->flat.leaves = b.leaves;
-  flatten(b, root, &h->flat, leaf_width);
+  flatten(b, root, &h->flat, leaf_width, order_signs);
 
   *out_num_nodes = static_cast<int64_t>(h->flat.node_skip.size());
   *out_num_bundled = static_cast<int64_t>(h->flat.order.size());

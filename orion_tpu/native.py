@@ -61,7 +61,7 @@ def get_lib(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.orion_bvh_build.restype = c_p
     lib.orion_bvh_build.argtypes = [
         f32_p, f32_p, f32_p, u8_p, c_i64, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(c_i64), ctypes.POINTER(c_i64),
+        ctypes.c_int, f32_p, ctypes.POINTER(c_i64), ctypes.POINTER(c_i64),
         ctypes.POINTER(c_i32), ctypes.POINTER(c_i64)]
     lib.orion_bvh_export.restype = None
     lib.orion_bvh_export.argtypes = [c_p, f32_p, f32_p, i32_p, i32_p,
@@ -98,7 +98,8 @@ STRATEGY_CODES = {"median": 0, "middle": 1, "sah": 2}
 
 def bvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
                      tri_e2: np.ndarray, valid: np.ndarray, *,
-                     strategy: str, leaf_size: int, leaf_width: int):
+                     strategy: str, leaf_size: int, leaf_width: int,
+                     order_signs=(1.0, 1.0, 1.0)):
     """Run the C++ builder; returns the flat arrays (see accel/bvh.py
     schema) or None when the library is unavailable."""
     lib = get_lib()
@@ -115,8 +116,10 @@ def bvh_build_native(tri_v0: np.ndarray, tri_e1: np.ndarray,
     n_bundled = ctypes.c_int64()
     max_depth = ctypes.c_int32()
     leaves = ctypes.c_int64()
+    signs = np.ascontiguousarray(order_signs, np.float32)
     h = lib.orion_bvh_build(v0, e1, e2, vd, T,
                             STRATEGY_CODES[strategy], leaf_size, leaf_width,
+                            signs,
                             ctypes.byref(n_nodes), ctypes.byref(n_bundled),
                             ctypes.byref(max_depth), ctypes.byref(leaves))
     if not h:

@@ -141,3 +141,30 @@ def test_bvh_render_equivalence(assets_dir):
                      intersect=make_bvh_intersect(bvh))
     np.testing.assert_allclose(np.asarray(img_bvh), np.asarray(img_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_camera_octant_ordering_reduces_work(nanosuit_scene):
+    """Near-first child order baked for the camera octant must cut leaf
+    tests on coherent primary rays (measured ~40%)."""
+    scene, rtc = nanosuit_scene
+    orig, dirs = _rays(scene, rtc)
+    v0, e1, e2, valid = _scene_tris(scene)
+    signs = tuple(np.sign(np.asarray(dirs).mean(axis=0)).tolist())
+    signs = tuple(s if s != 0 else 1.0 for s in signs)
+
+    bvh_plain, _ = build_bvh(v0, e1, e2, valid, strategy=SAH)
+    bvh_ord, _ = build_bvh(v0, e1, e2, valid, strategy=SAH,
+                           order_signs=signs)
+    _, _, st_plain = traverse(bvh_plain, orig, dirs, with_stats=True)
+    _, _, st_ord = traverse(bvh_ord, orig, dirs, with_stats=True)
+    assert float(st_ord.tri_tests) < 0.8 * float(st_plain.tri_tests)
+
+    # and identical hits, of course
+    h_plain = make_bvh_intersect(bvh_plain)(scene, orig, dirs)
+    h_ord = make_bvh_intersect(bvh_ord)(scene, orig, dirs)
+    np.testing.assert_array_equal(np.asarray(h_ord.mask),
+                                  np.asarray(h_plain.mask))
+    m = np.asarray(h_plain.mask)
+    np.testing.assert_allclose(np.where(m, np.asarray(h_ord.t), 0.0),
+                               np.where(m, np.asarray(h_plain.t), 0.0),
+                               rtol=1e-5, atol=1e-6)
