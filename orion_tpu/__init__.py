@@ -20,3 +20,11 @@ __version__ = "0.1.0"
 from orion_tpu.io.rtc import RTCData, parse_rtc, write_rtc  # noqa: F401
 from orion_tpu.scene import Scene, load_scene               # noqa: F401
 from orion_tpu.camera import Camera, camera_from_rtc        # noqa: F401
+from orion_tpu.engine import (                              # noqa: F401
+    PreparedScene,
+    prepare,
+    render_prepared,
+    render_report,
+)
+from orion_tpu.render import render, trace_wavefront        # noqa: F401
+from orion_tpu.validate import SceneValidationError         # noqa: F401

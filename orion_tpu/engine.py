@@ -112,6 +112,10 @@ def prepare(rtc_path: str | Path, *, strategy: str = SAH,
         rtc.xres = xres
     if yres is not None:
         rtc.yres = yres
+    from orion_tpu.validate import validate_rtc, validate_scene
+
+    validate_rtc(rtc)
+    validate_scene(scene)
     camera = camera_from_rtc(rtc)
     # bake near-first child order for the camera's direction octant into
     # the BVH flattening (~40% fewer leaf tests on coherent batches)

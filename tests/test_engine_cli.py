@@ -93,3 +93,34 @@ def test_checkpoint_ignores_mismatched_seed(assets_dir, tmp_path):
     fresh = render_accumulate(ps, jax.random.key(2), samples=2,
                               path=tmp_path / "d.ckpt", every=2, **kw)
     np.testing.assert_allclose(img2, fresh, rtol=1e-6)
+
+
+def test_validation_rejects_degenerate_camera(assets_dir, tmp_path):
+    from orion_tpu.validate import SceneValidationError
+
+    # up parallel to view direction: the reference's Gram-Schmidt would
+    # divide by zero (math.hpp:313-317); we refuse with a clear error
+    bad = tmp_path / "bad.rtc"
+    src = (assets_dir / "cornell-box.rtc").read_text().splitlines()
+    # line order: obj, texture, depth, res, viewpoint, lookat, up
+    idx = [i for i, l in enumerate(src)
+           if l.strip() and not l.strip().startswith("#")]
+    src[idx[0]] = str(assets_dir / "cornell-box/cornell-box.obj")
+    vp = src[idx[4]].split()
+    la = src[idx[5]].split()
+    up = [float(a) - float(b) for a, b in zip(la, vp)]
+    src[idx[6]] = " ".join(str(v) for v in up)
+    bad.write_text("\n".join(src) + "\n")
+    with pytest.raises(SceneValidationError, match="parallel"):
+        prepare(bad)
+
+
+def test_validation_rejects_empty_scene(tmp_path):
+    from orion_tpu.validate import SceneValidationError
+
+    obj = tmp_path / "empty.obj"
+    obj.write_text("# nothing\n")
+    rtc = tmp_path / "empty.rtc"
+    rtc.write_text("empty.obj\nnone.png\n2\n8 8\n0 0 1\n0 0 0\n0 1 0\n1\n")
+    with pytest.raises((SceneValidationError, ValueError)):
+        prepare(rtc)
