@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     import jax
     import numpy as np
 
-    from orion_tpu.engine import prepare, render_prepared, render_report
+    from orion_tpu.engine import prepare, render_report
     from orion_tpu.io.image import save_image
 
     ps = prepare(args.rtc_file, strategy=args.strategy,

@@ -201,17 +201,32 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
     return carry, radiance
 
 
+def _octant(dirs: jax.Array) -> jax.Array:
+    """3-bit direction octant per ray [N] (packet-coherence sort key)."""
+    return ((dirs[:, 0] >= 0).astype(jnp.int32)
+            + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
+            + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
+
+
 def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     key: jax.Array, *, max_depth: int, light_samples: int = 2,
                     mode: Optional[str] = None,
                     intersect: Optional[IntersectFn] = None,
                     reference_frame: bool = False,
-                    normal_maps: bool = False) -> jax.Array:
+                    normal_maps: bool = False,
+                    sort_bounces: bool = False) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     mode: "path" | "whitted" | None (auto: whitted iff the scene has point
     lights, matching raytracer.cpp:131). normal_maps enables tangent-space
     bump mapping (off by default — PARITY.md).
+
+    sort_bounces: after each bounce, reorder the wavefront by
+    (dead-last, direction octant) so the Pallas packet kernels see
+    coherent blocks on secondary rays; radiance is un-permuted at the
+    end. Changes which RNG slot each ray draws (still a valid,
+    deterministic estimator; images differ from unsorted at the noise
+    level). Off by default.
     """
     if mode is None:
         mode = "whitted" if scene.num_lights > 0 else "path"
@@ -220,29 +235,49 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     N = orig.shape[0]
     throughput = jnp.ones((N, 3), jnp.float32)
     alive = jnp.ones((N,), bool)
-    carry0 = (orig, dirs, throughput, alive)
-    depths = jnp.arange(max_depth + 1)
 
     if mode == "path":
-        def body(carry, depth):
+        def bounce(carry, depth):
             return _path_bounce(scene, carry, depth, key, light_samples,
                                 max_depth, intersect, reference_frame,
                                 normal_maps)
     elif mode == "whitted":
-        def body(carry, depth):
+        def bounce(carry, depth):
             return _whitted_bounce(scene, carry, depth, max_depth, intersect,
                                    normal_maps)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    _, radiance_per_depth = jax.lax.scan(body, carry0, depths)
-    return jnp.sum(radiance_per_depth, axis=0)
+    depths = jnp.arange(max_depth + 1)
+
+    if not sort_bounces:
+        _, radiance_per_depth = jax.lax.scan(bounce, (orig, dirs, throughput,
+                                                      alive), depths)
+        return jnp.sum(radiance_per_depth, axis=0)
+
+    pix = jnp.arange(N, dtype=jnp.int32)
+    acc = jnp.zeros((N, 3), jnp.float32)
+
+    def body(carry, depth):
+        orig, dirs, throughput, alive, pix, acc = carry
+        (orig, dirs, throughput, alive), radiance = bounce(
+            (orig, dirs, throughput, alive), depth)
+        acc = acc + radiance
+        perm = jnp.argsort(jnp.where(alive, _octant(dirs), 8))
+        carry = tuple(a[perm] for a in
+                      (orig, dirs, throughput, alive, pix, acc))
+        return carry, None
+
+    carry, _ = jax.lax.scan(body, (orig, dirs, throughput, alive, pix, acc),
+                            depths)
+    _, _, _, _, pix, acc = carry
+    return jnp.zeros((N, 3), jnp.float32).at[pix].set(acc)
 
 
 @partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
                                    "mode", "intersect", "reference_frame",
                                    "shared_jitter", "sample_offset",
-                                   "normal_maps"))
+                                   "normal_maps", "sort_bounces"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
@@ -250,7 +285,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
            reference_frame: bool = False,
            shared_jitter: bool = True,
            sample_offset: int = 0,
-           normal_maps: bool = False) -> jax.Array:
+           normal_maps: bool = False,
+           sort_bounces: bool = False) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -280,7 +316,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
                                    light_samples=light_samples, mode=mode,
                                    intersect=intersect,
                                    reference_frame=reference_frame,
-                                   normal_maps=normal_maps)
+                                   normal_maps=normal_maps,
+                                   sort_bounces=sort_bounces)
         return acc + radiance.reshape(H, W, 3), None
 
     acc0 = jnp.zeros((H, W, 3), jnp.float32)

@@ -136,3 +136,26 @@ def test_reference_frame_flag(cornell_scene):
     img = np.asarray(render(scene, cam, jax.random.key(0), samples=2, max_depth=3,
                             reference_frame=True))
     assert np.isfinite(img).all()
+
+
+def test_sort_bounces_statistical_match(cornell_scene):
+    """sort_bounces reorders the wavefront between bounces; same estimator,
+    different RNG slot assignment — images agree statistically and are
+    deterministic."""
+    import jax
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.render import render
+
+    scene, rtc = cornell_scene
+    rtc.xres, rtc.yres = 32, 24
+    cam = camera_from_rtc(rtc)
+    key = jax.random.key(0)
+    kw = dict(samples=4, max_depth=4, light_samples=2, mode="path")
+    a = np.asarray(render(scene, cam, key, **kw))
+    b = np.asarray(render(scene, cam, key, sort_bounces=True, **kw))
+    b2 = np.asarray(render(scene, cam, key, sort_bounces=True, **kw))
+    np.testing.assert_array_equal(b, b2)  # deterministic
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 0.15 * max(a.mean(), 1e-6)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.8
