@@ -1,0 +1,111 @@
+"""Inverse rendering: optimize scene parameters against target images.
+
+The capability the reference cannot express (BASELINE.md north star):
+pixel-loss gradients flow through shading, sampling, and intersection into
+vertex positions and material parameters (ops/intersect.py's
+detach-and-recompute contract), so scene recovery is plain gradient
+descent. This module packages it: optax optimizers over a chosen
+parameter subset, optional multi-chip forward/backward, and simple
+constraint projections (albedo clamping).
+
+    from orion_tpu import prepare
+    from orion_tpu.optim import fit
+    result = fit(ps, target_image, params=("mat_diffuse",), steps=100)
+    recovered_scene = result.scene
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from orion_tpu.render import IntersectFn, render
+from orion_tpu.scene import Scene
+
+# parameters that are physically meaningful in [0, 1]
+UNIT_INTERVAL_PARAMS = ("mat_diffuse", "mat_specular", "mat_ambient")
+
+DEFAULT_PARAMS = ("mat_diffuse",)
+
+
+@dataclasses.dataclass
+class FitResult:
+    scene: Scene
+    params: Dict[str, jax.Array]
+    losses: list
+    steps: int
+
+
+def _project(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    out = {}
+    for k, v in params.items():
+        if k in UNIT_INTERVAL_PARAMS:
+            v = jnp.clip(v, 0.0, 1.0)
+        elif k == "mat_emissive":
+            v = jnp.maximum(v, 0.0)
+        out[k] = v
+    return out
+
+
+def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
+              light_samples: int, mode: Optional[str],
+              intersect: Optional[IntersectFn],
+              loss_fn: Optional[Callable] = None):
+    """loss(params, key, target) closure over a base scene."""
+
+    def loss(params, key, target):
+        s = dataclasses.replace(scene, **params)
+        img = render(s, camera, key, samples=samples, max_depth=max_depth,
+                     light_samples=light_samples, mode=mode,
+                     intersect=intersect)
+        if loss_fn is not None:
+            return loss_fn(img, target)
+        return jnp.mean((img - target) ** 2)
+
+    return loss
+
+
+def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
+        steps: int = 100, learning_rate: float = 5e-2,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        samples: int = 1, max_depth: int = 2, light_samples: int = 1,
+        mode: Optional[str] = None, seed: int = 0,
+        resample_keys: bool = True,
+        loss_fn: Optional[Callable] = None,
+        callback: Optional[Callable[[int, float], None]] = None) -> FitResult:
+    """Fit `params` of a PreparedScene to a target [H,W,3] image.
+
+    resample_keys=True draws a fresh sampling key per step (stochastic
+    gradient over the path space); False holds the key fixed (deterministic
+    objective — useful for convergence tests).
+    """
+    target = jnp.asarray(target, jnp.float32)
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    theta = {name: getattr(ps.scene, name) for name in params}
+    opt_state = opt.init(theta)
+    loss = make_loss(ps.scene, ps.camera, samples=samples,
+                     max_depth=max_depth, light_samples=light_samples,
+                     mode=mode, intersect=ps.intersect, loss_fn=loss_fn)
+
+    @jax.jit
+    def step(theta, opt_state, key):
+        l, grads = jax.value_and_grad(loss)(theta, key, target)
+        updates, opt_state = opt.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return _project(theta), opt_state, l
+
+    base_key = jax.random.key(seed)
+    losses = []
+    for i in range(steps):
+        key = jax.random.fold_in(base_key, i) if resample_keys else base_key
+        theta, opt_state, l = step(theta, opt_state, key)
+        losses.append(float(l))
+        if callback is not None:
+            callback(i, losses[-1])
+
+    return FitResult(scene=dataclasses.replace(ps.scene, **theta),
+                     params=theta, losses=losses, steps=steps)
