@@ -72,8 +72,19 @@ def run_config(name, rtc, xres, yres, samples, depth, light_samples,
 def main():
     headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
                           512, 512, 16, 8, 2,
-                          backends=("brute-jnp", "brute-pallas"))
+                          backends=("brute-pallas", "brute-jnp"))
+    # emit the driver's line as soon as the headline lands — later configs
+    # must not be able to take it down (the tunnel can wedge mid-run)
+    rays_per_s = headline["primary_rays_per_s"]
+    print(json.dumps({
+        "metric": "cornell_path_512x512_16spp_primary_rays_per_s",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
+    }), flush=True)
     details = [headline]
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=1)
     try:
         details.append(run_config("nanosuit_whitted_1024_4spp",
                                   "nanosuit.rtc", 1024, 1024, 4, 2, 1,
@@ -87,14 +98,6 @@ def main():
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)
-
-    rays_per_s = headline["primary_rays_per_s"]
-    print(json.dumps({
-        "metric": "cornell_path_512x512_16spp_primary_rays_per_s",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
-    }))
     return 0
 
 

@@ -33,7 +33,7 @@ from orion_tpu.scene import Scene, load_scene
 
 BRUTE_MAX_TRIS = 1024
 # Pallas packet-traversal tuning (nanosuit 512x512 sweeps, 2026-08)
-TPU_LEAF_SIZE = 64
+TPU_LEAF_SIZE = 128
 TPU_RAY_BLOCK = 1024
 
 

@@ -1,34 +1,32 @@
 """Pallas TPU kernel: packet BVH traversal (block-uniform skip-pointer walk).
 
-The TPU analogue of packet ray tracing: a block of RB rays (VPU lanes)
-walks the flattened BVH *together*. The node pointer is block-uniform
-scalar state; a node's subtree is entered iff ANY live lane hits its AABB
-(with per-lane t-entry pruning), and leaf bundles are tested as dense
-[W, RB] Möller-Trumbore planes — the leaf's W bundled triangles on
-sublanes, rays on lanes — via the shared mt_plane of
-ops/pallas_intersect.py, but only for the leaves this block reaches.
+The TPU analogue of packet ray tracing: a block of RB rays walks the
+flattened BVH *together*. The node pointer is block-uniform scalar state;
+a node's subtree is entered iff ANY live lane hits its AABB (with per-ray
+t-entry pruning), and leaf bundles are tested as dense [RB, 128]
+Möller-Trumbore planes via the shared mt_plane.
 
 vs the reference (SBVH::innerIntersect, /root/reference/orion/avx/sbvh.cpp:
 36-83): the reference recurses per ray and tests 8 triangles per AVX step;
-here each leaf visit tests W x RB ray-triangle pairs and the block
-amortizes node decisions across hundreds of rays. Coherent packets
-(primary, shadow) visit near-minimal node sets; incoherent bounce packets
-visit the union of their lanes' paths — the classic divergence trade,
-priced at block granularity.
+here each leaf visit tests 128 x RB ray-triangle pairs and the block
+amortizes node decisions across 1024 rays. Coherent packets (primary,
+shadow) visit near-minimal node sets — the camera-octant child ordering
+baked by accel/bvh.py keeps them front-to-back; incoherent bounce packets
+visit the union of their lanes' paths, the classic divergence trade.
 
-Layout rules this kernel lives by (measured, not theoretical):
-  - every per-ray value is [1, RB] — lanes full. A [RB, 1] orientation
-    puts one value per (8,128) register tile and wastes 127/128 of the
-    VPU (a prior revision did exactly that and was 4x slower);
-  - node scalars (bounds, skip, leaf start) ride in SMEM via scalar
-    prefetch — they feed scalar control flow;
-  - bundled leaf triangles are resident in VMEM as [B_pad, 16] rows
-    (v0|e1|e2 in cols 0..8): a leaf is a dynamic *sublane* row range
-    (pl.multiple_of(start, W), W a multiple of 8) and components are
-    static column slices -> [W, 1]. Lane padding makes this 512 B per
-    bundled triangle — the engine caps bundles at RESIDENT_MAX_BUNDLED
-    and larger scenes fall back to the jnp traversal.
-  - rays arrive as one [8, N] component-row array, blocked to [8, RB].
+Measured layout choices (three design generations benchmarked on v5e —
+see git history for the DMA-per-leaf and row-resident variants):
+  - rays ride as ONE [N, 8] row-per-ray array blocked to [RB, 8];
+    components are static column slices -> [RB, 1];
+  - bundled leaf triangles are resident in VMEM as a compact [16, B_pad]
+    component-row array (64 B per bundled triangle); a leaf is a dynamic
+    *lane* slice at pl.multiple_of(start, 128) — hence leaf_width is
+    pinned to 128 — giving [1, 128] comps that broadcast against the
+    [RB, 1] ray comps into the [RB, 128] leaf plane.
+    (A [B, 16] row-resident variant halved nothing and ran 140x slower
+    from VMEM oversubscription; per-leaf DMA was ~5x slower.)
+  - outputs are (N, 1); ray blocks beyond 1024 overflow the VMEM stack
+    with the (8,128)-tiled output allocation, so RAY_BLOCK stays 1024.
 """
 
 from __future__ import annotations
@@ -43,32 +41,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH
 from orion_tpu.ops.intersect import Hit
-from orion_tpu.ops.pallas_intersect import (mt_plane, pack_ray_rows,
-                                            pack_tri_rows16, ray_rows,
-                                            tri_cols)
+from orion_tpu.ops.pallas_intersect import mt_plane
 
 RAY_BLOCK = 1024
-# [B_pad, 16] resident rows pad to 128 lanes => 512 B per bundled triangle
-RESIDENT_MAX_BUNDLED = 24 * 1024
+LEAF_WIDTH = 128  # pinned: leaf lane offsets must be 128-aligned
+# compact [16, B_pad] residency: 64 B per bundled triangle of VMEM
+RESIDENT_MAX_BUNDLED = 120 * 1024
 
 _BIG = np.float32(3.0e38)
 
 
 def _make_kernel(M: int, W: int):
+    assert W == LEAF_WIDTH
+
     def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start,
-               r_ref, tri_ref,
-               t_out, id_out):
-        o, d = ray_rows(r_ref)                           # [1,RB] comps
+               r_ref, tri_ref, t_out, id_out):
+        o = (r_ref[:, 0:1], r_ref[:, 1:2], r_ref[:, 2:3])   # [RB,1]
+        d = (r_ref[:, 3:4], r_ref[:, 4:5], r_ref[:, 5:6])
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
 
-        row_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
         def body(carry):
             ptr, t_best, col_best = carry
             lo = (n_lox[ptr], n_loy[ptr], n_loz[ptr])
             hi = (n_hix[ptr], n_hiy[ptr], n_hiz[ptr])
 
-            # slab test, [1,RB] vs scalar bounds; flat boxes hit (>=)
+            # slab test vs scalar bounds; flat boxes hit (>=, PARITY #6)
             tx0 = (lo[0] - o[0]) * inv[0]
             tx1 = (hi[0] - o[0]) * inv[0]
             ty0 = (lo[1] - o[1]) * inv[1]
@@ -89,20 +88,23 @@ def _make_kernel(M: int, W: int):
 
             def leaf_case(state):
                 t_best, col_best = state
-                off = pl.multiple_of(jnp.maximum(start, 0), W)
-                v0, e1, e2 = tri_cols(tri_ref[pl.ds(off, W), :])  # [W,1]
-                t = mt_plane(o, d, v0, e1, e2)              # [W,RB]
-                t_min = jnp.min(t, axis=0, keepdims=True)   # [1,RB]
-                row = jnp.min(jnp.where(t == t_min, row_idx,
+                off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+                blk = tri_ref[:, pl.ds(off, W)]             # [16,W]
+                v0 = (blk[0:1, :], blk[1:2, :], blk[2:3, :])
+                e1 = (blk[3:4, :], blk[4:5, :], blk[5:6, :])
+                e2 = (blk[6:7, :], blk[7:8, :], blk[8:9, :])
+                t = mt_plane(o, d, v0, e1, e2)              # [RB,W]
+                t_min = jnp.min(t, axis=1, keepdims=True)   # [RB,1]
+                col = jnp.min(jnp.where(t == t_min, col_idx,
                                         jnp.int32(2**30)),
-                              axis=0, keepdims=True) + start
+                              axis=1, keepdims=True) + start
                 better = (t_min < t_best) & (t_min < _BIG)
                 return (jnp.where(better, t_min, t_best),
-                        jnp.where(better, row, col_best))
+                        jnp.where(better, col, col_best))
 
-            do_leaf = any_hit & is_leaf
             t_best, col_best = jax.lax.cond(
-                do_leaf, leaf_case, lambda s: s, (t_best, col_best))
+                any_hit & is_leaf, leaf_case, lambda s: s,
+                (t_best, col_best))
 
             descend = any_hit & jnp.logical_not(is_leaf)
             ptr = jnp.where(descend, ptr + 1, n_skip[ptr])
@@ -111,10 +113,11 @@ def _make_kernel(M: int, W: int):
         def cond(carry):
             return carry[0] < M
 
-        t0 = jnp.full(t_out.shape, _BIG, jnp.float32)    # [1,RB]
-        i0 = jnp.full(id_out.shape, -1, jnp.int32)
-        ptr0 = jnp.int32(0)
-        _, t_best, col_best = jax.lax.while_loop(cond, body, (ptr0, t0, i0))
+        rb = r_ref.shape[0]
+        t0 = jnp.full((rb, 1), _BIG, jnp.float32)
+        i0 = jnp.full((rb, 1), -1, jnp.int32)
+        _, t_best, col_best = jax.lax.while_loop(cond, body,
+                                                 (jnp.int32(0), t0, i0))
         t_out[:, :] = jnp.where(col_best >= 0, t_best, jnp.inf)
         id_out[:, :] = col_best
 
@@ -123,6 +126,29 @@ def _make_kernel(M: int, W: int):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pack_rays8(orig, dirs, n_pad: int):
+    """[N,3]x2 -> [N_pad, 8] rows (ox oy oz dx dy dz 0 0); padding rows
+    get dir=(1,1,1) so they do harmless work."""
+    N = orig.shape[0]
+    data = jnp.zeros((n_pad, 8), jnp.float32)
+    data = data.at[:N, 0:3].set(orig)
+    data = data.at[:N, 3:6].set(dirs)
+    data = data.at[N:, 3:6].set(1.0)
+    return data
+
+
+def pack_tri_comps16(tri_v0, tri_e1, tri_e2, lane_mult: int = 128):
+    """[B,3]x3 -> compact [16, B_pad] component rows (v0|e1|e2 in rows
+    0..8), padding columns degenerate; 64 B per bundled triangle."""
+    B = tri_v0.shape[0]
+    B_pad = _round_up(max(B, lane_mult), lane_mult)
+    data = jnp.zeros((16, B_pad), jnp.float32)
+    data = data.at[0:3, :B].set(tri_v0.T)
+    data = data.at[3:6, :B].set(tri_e1.T)
+    data = data.at[6:9, :B].set(tri_e2.T)
+    return data
 
 
 @partial(jax.jit, static_argnames=("leaf_width", "num_nodes", "ray_block",
@@ -134,14 +160,14 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    rays = pack_ray_rows(orig, dirs, N_pad)
+    rays = pack_rays8(orig, dirs, N_pad)
 
     grid = (N_pad // ray_block,)
     kernel = _make_kernel(num_nodes, leaf_width)
 
-    ray_spec = pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+    ray_spec = pl.BlockSpec((ray_block, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
+    out_spec = pl.BlockSpec((ray_block, 1), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident bundles
 
@@ -155,21 +181,20 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
     t, row = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((N_pad, 1), jnp.int32)),
         interpret=interpret,
     )(*node_scalars, rays, tri_data)
-    return t[0, :N], row[0, :N]
+    return t[:N, 0], row[:N, 0]
 
 
 def _bvh_device_layout(bvh: BVH):
-    """Kernel-ready layouts: node scalar vectors + [B_pad,16] tri rows."""
+    """Kernel-ready layouts: node scalar vectors + [16, B_pad] tri rows."""
     node_scalars = tuple(
         [bvh.node_lo[:, i] for i in range(3)]
         + [bvh.node_hi[:, i] for i in range(3)]
         + [bvh.node_skip, bvh.node_start])
-    tri_data = pack_tri_rows16(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2,
-                               bvh.leaf_width)
+    tri_data = pack_tri_comps16(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2)
     return node_scalars, tri_data
 
 
@@ -177,12 +202,14 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
                               interpret: bool | None = None):
     """IntersectFn closure: Pallas packet traversal over a flattened BVH.
 
+    Requires bvh.leaf_width == 128 (the engine builds TPU trees that way).
     Maps bundled rows to global scene triangle ids (tri_orig), matching
-    the other backends' Hit contract. Requires leaf_width % 8 == 0 and
-    (on hardware) bundles within the VMEM residency cap.
+    the other backends' Hit contract.
     """
-    if bvh.leaf_width % 8 != 0:
-        raise ValueError("leaf_width must be a sublane multiple (8)")
+    if bvh.leaf_width != LEAF_WIDTH:
+        raise ValueError(
+            f"Pallas BVH traversal needs leaf_width={LEAF_WIDTH}, "
+            f"got {bvh.leaf_width}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
