@@ -79,3 +79,22 @@ def test_shardmap_train_step_decreases_loss(cornell_ps, mesh8):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_init_distributed_single_process():
+    from orion_tpu.parallel.distributed import (host_tile, init_distributed,
+                                                scaling_report)
+
+    info = init_distributed()
+    assert info["process_count"] >= 1
+    assert info["global_devices"] >= 1
+
+    start, end = host_tile(100)
+    assert 0 <= start <= end <= 100
+    # single process owns everything
+    if info["process_count"] == 1:
+        assert (start, end) == (0, 100)
+
+    rep = scaling_report(10.0, 1.4, 8)
+    assert rep["speedup"] == pytest.approx(7.143, rel=1e-3)
+    assert rep["efficiency"] == pytest.approx(0.8929, rel=1e-3)
