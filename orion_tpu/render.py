@@ -73,30 +73,51 @@ def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
     mesh, `light_samples` area samples; a sample contributes iff the shadow
     ray's *nearest* hit lands on the emitter mesh; emitted color/normal are
     evaluated at the shadow-ray hit point.
+
+    All E x S shadow batches are stacked into ONE intersect call (identical
+    math and RNG draws — one kernel invocation instead of E*S).
     """
     N = attrs.point.shape[0]
-    total = jnp.zeros((N, 3), jnp.float32)
+    E = scene.num_emissive
+    S = light_samples
     origin = attrs.point + BIAS * attrs.g_normal
 
-    for e in range(scene.num_emissive):
+    targets = []
+    weights = []
+    for e in range(E):
         mesh_id = scene.emissive_mesh_ids[e]
-        contrib = jnp.zeros((N, 3), jnp.float32)
-        for s in range(light_samples):
+        for s in range(S):
             k = jax.random.fold_in(jax.random.fold_in(key, e), s)
             u = jax.random.uniform(k, (3, N))
             target, weight, _ = shade.sample_mesh_point(scene, mesh_id,
                                                         u[0], u[1], u[2])
-            shadow_dir = target - attrs.point
-            s_hit = intersect(scene, origin, shadow_dir)
-            s_attrs = hit_attributes(scene, origin, shadow_dir, s_hit)
-            visible = s_hit.mask & (s_attrs.mesh_id == mesh_id) & hit_mask
-            ke = shade.emissive_color(scene, s_attrs.mat_id, s_attrs.uv)
+            targets.append(target)
+            weights.append(weight)
+
+    target_all = jnp.concatenate(targets, axis=0)          # [E*S*N, 3]
+    origin_all = jnp.tile(origin, (E * S, 1))
+    shadow_dir_all = target_all - jnp.tile(attrs.point, (E * S, 1))
+    s_hit = intersect(scene, origin_all, shadow_dir_all)
+    s_attrs = hit_attributes(scene, origin_all, shadow_dir_all, s_hit)
+
+    total = jnp.zeros((N, 3), jnp.float32)
+    i = 0
+    for e in range(E):
+        mesh_id = scene.emissive_mesh_ids[e]
+        contrib = jnp.zeros((N, 3), jnp.float32)
+        for s in range(S):
+            sl = slice(i * N, (i + 1) * N)
+            i += 1
+            visible = (s_hit.mask[sl]
+                       & (s_attrs.mesh_id[sl] == mesh_id) & hit_mask)
+            ke = shade.emissive_color(scene, s_attrs.mat_id[sl],
+                                      s_attrs.uv[sl])
             c = shade.color_brdf(scene, attrs.mat_id, attrs.uv,
                                  attrs.s_normal, attrs.point,
-                                 target, ke, weight,
-                                 s_attrs.s_normal)
+                                 targets[i - 1], ke, weights[i - 1],
+                                 s_attrs.s_normal[sl])
             contrib = contrib + jnp.where(visible[:, None], c, 0.0)
-        total = total + contrib / float(light_samples)
+        total = total + contrib / float(S)
     return total
 
 
@@ -172,19 +193,26 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
     radiance += jnp.where(hit_mask[:, None], em, 0.0)
 
     shadow_origin = attrs.point + BIAS * attrs.g_normal
-    for li in range(scene.num_lights):
-        lpos = scene.light_pos[li]
-        to_light = lpos[None, :] - attrs.point
-        s_hit = intersect(scene, shadow_origin, to_light)
-        # reference quirk kept: ANY intersection blocks, even geometry beyond
-        # the light (raytracer.cpp:196-201); see PARITY.md
-        lit = hit_mask & ~s_hit.mask
-        c = shade.phong_color(scene, attrs.mat_id, attrs.uv, dirs,
-                              attrs.s_normal, attrs.point,
-                              jnp.broadcast_to(lpos, attrs.point.shape),
-                              scene.light_color[li][None, :],
-                              scene.light_intensity[li])
-        radiance += jnp.where(lit[:, None], c, 0.0)
+    L = scene.num_lights
+    N = attrs.point.shape[0]
+    if L > 0:
+        # one stacked intersect for all lights' shadow rays
+        to_light_all = jnp.concatenate(
+            [scene.light_pos[li][None, :] - attrs.point for li in range(L)],
+            axis=0)
+        s_hit = intersect(scene, jnp.tile(shadow_origin, (L, 1)),
+                          to_light_all)
+        for li in range(L):
+            lpos = scene.light_pos[li]
+            # reference quirk kept: ANY intersection blocks, even geometry
+            # beyond the light (raytracer.cpp:196-201); see PARITY.md
+            lit = hit_mask & ~s_hit.mask[li * N:(li + 1) * N]
+            c = shade.phong_color(scene, attrs.mat_id, attrs.uv, dirs,
+                                  attrs.s_normal, attrs.point,
+                                  jnp.broadcast_to(lpos, attrs.point.shape),
+                                  scene.light_color[li][None, :],
+                                  scene.light_intensity[li])
+            radiance += jnp.where(lit[:, None], c, 0.0)
     radiance = radiance * throughput
 
     # perfect mirror continuation scaled by the specular map
