@@ -69,6 +69,39 @@ def run_config(name, rtc, xres, yres, samples, depth, light_samples,
     return best
 
 
+def run_train_config():
+    """Forward+backward rays/s — the BASELINE.md north-star metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.engine import prepare
+    from orion_tpu.optim import make_loss
+
+    xres = yres = 256
+    samples, depth = 4, 4
+    ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=xres, yres=yres)
+    loss = make_loss(ps.scene, ps.camera, samples=samples, max_depth=depth,
+                     light_samples=2, mode="path", intersect=ps.intersect)
+    key = jax.random.key(0)
+    target = jnp.zeros((yres, xres, 3), jnp.float32)
+    params = {"mat_diffuse": ps.scene.mat_diffuse,
+              "tri_v0": ps.scene.tri_v0}
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+
+    l, g = grad_fn(params, key, target)
+    _ = float(l)
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        l, g = grad_fn(params, key, target)
+    _ = float(l) + float(jnp.sum(g["mat_diffuse"]))
+    dt = (time.perf_counter() - t0) / iters
+    primary = xres * yres * samples
+    return {"name": "cornell_fwdbwd_256_4spp", "backend": ps.backend,
+            "seconds": round(dt, 4),
+            "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
+
+
 def main():
     headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
                           512, 512, 16, 8, 2,
@@ -86,6 +119,7 @@ def main():
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=1)
     try:
+        details.append(run_train_config())
         details.append(run_config("nanosuit_whitted_1024_4spp",
                                   "nanosuit.rtc", 1024, 1024, 4, 2, 1,
                                   iters=2,

@@ -75,9 +75,15 @@ def _render_sharded_impl(scene: Scene, camera: Camera, key: jax.Array, *,
         # partitions along the ray axis; the scene stays replicated
         orig = jax.lax.with_sharding_constraint(orig, shard)
         dirs = jax.lax.with_sharding_constraint(dirs, shard)
+        # GSPMD cannot partition opaque Pallas custom calls — this path is
+        # pinned to the jnp backend (parallel/shardmap_render.py is the
+        # Pallas multi-chip path)
+        from orion_tpu.ops.intersect import intersect_brute
+
         radiance = trace_wavefront(scene, orig, dirs, k_trace,
                                    max_depth=max_depth,
-                                   light_samples=light_samples, mode=mode)
+                                   light_samples=light_samples, mode=mode,
+                                   intersect=intersect_brute)
         radiance = radiance[:N].reshape(H, W, 3)
         return acc + radiance, None
 
