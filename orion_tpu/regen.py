@@ -1,0 +1,147 @@
+"""Regenerative wavefront path tracing: dead rays restart as the next
+sample immediately.
+
+The standard renderer (render.py) runs a dense scan over bounce depth:
+every depth step processes all H*W rays even though Russian roulette has
+killed most of them (cornell: ~70% survival/bounce => <5% alive past
+depth 8). At the reference's flagship config (depth cap 20-100) that
+dense depth tax is ~6x wasted work.
+
+Here each ray slot is pinned to one pixel and carries (sample_idx, depth):
+when its path terminates (RR, miss, depth cap), the slot immediately
+regenerates as the SAME pixel's next sample's primary ray. The wavefront
+stays ~full of live rays, and a `lax.while_loop` runs until every slot
+finishes its samples — total steps ~= samples * (mean path length + 1)
+instead of samples * (depth cap + 1). Measured: ~6x on the reference's
+1920x1080 @2048spp cornell config.
+
+Estimator: identical to render(..., shared_jitter=False) — each
+(pixel, sample) contributes one full path with NEE at every bounce and
+the reference's RR/depth-cap termination. RNG is slot-addressed per step
+(deterministic per seed; not bit-equal to the standard renderer, images
+agree statistically — tests/test_regen.py).
+
+Forward-only: `lax.while_loop` is not reverse-mode differentiable; use
+the standard renderer for training.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from orion_tpu.camera import Camera
+from orion_tpu.ops import shade
+from orion_tpu.ops.intersect import hit_attributes
+from orion_tpu.render import BIAS, IntersectFn, _nee, default_intersect
+
+
+def _primary_for_slots(camera: Camera, u: jax.Array):
+    """Per-slot primary rays: slot i <-> pixel i (row-major), jittered by
+    the [N,2] uniforms `u`. Camera math mirrors camera.primary_rays."""
+    H, W = camera.yres, camera.xres
+    N = H * W
+    pix = jnp.arange(N, dtype=jnp.uint32)
+    row = (pix // W).astype(jnp.float32)
+    col = (pix % W).astype(jnp.float32)
+    x = 2.0 * (col / W) - 1.0 + u[:, 0] * (2.0 / W)
+    y = -(2.0 * (row / H) - 1.0 + u[:, 1] * (2.0 / H))
+    dirs = (camera.front[None, :]
+            + x[:, None] * camera.right[None, :]
+            + y[:, None] * camera.up[None, :])
+    orig = jnp.broadcast_to(camera.origin, (N, 3))
+    return orig, dirs
+
+
+@partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
+                                   "intersect", "max_steps"))
+def render_regen(scene, camera: Camera, key: jax.Array, *,
+                 samples: int, max_depth: int, light_samples: int = 2,
+                 intersect: Optional[IntersectFn] = None,
+                 max_steps: Optional[int] = None) -> jax.Array:
+    """Path-traced [H, W, 3] render with path regeneration (see module
+    docstring). Scenes without emissive meshes get no NEE term (matching
+    render.py's path mode)."""
+    if intersect is None:
+        intersect = default_intersect()
+    H, W = camera.yres, camera.xres
+    N = H * W
+    cap = max_steps if max_steps is not None else samples * (max_depth + 1)
+
+    orig0, dirs0 = _primary_for_slots(
+        camera, jax.random.uniform(jax.random.fold_in(key, 0xA11CE), (N, 2)))
+
+    def cond(carry):
+        step, done = carry[0], carry[6]
+        return (step < cap) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        (step, orig, dirs, throughput, depth, sample_idx, done, acc) = carry
+        live = jnp.logical_not(done)
+
+        hit = intersect(scene, orig, dirs)
+        attrs = hit_attributes(scene, orig, dirs, hit)
+        hit_mask = live & hit.mask
+
+        k_step = jax.random.fold_in(key, jnp.uint32(0x9e37) + step)
+        k_nee, k_rr, k_dir, k_jit = jax.random.split(k_step, 4)
+
+        # emissive term only at a path's first hit (raytracer.cpp:127-128)
+        ke = shade.emissive_color(scene, attrs.mat_id, attrs.uv)
+        area = scene.mesh_area[attrs.mesh_id]
+        cosv = jnp.sum(shade.normalize(dirs) * (-attrs.s_normal), axis=-1)
+        em = ke * (area * cosv)[:, None]
+        radiance = jnp.where((hit_mask & (depth == 0))[:, None], em, 0.0)
+
+        if scene.num_emissive > 0:
+            radiance = radiance + _nee(scene, attrs, hit_mask, k_nee,
+                                       light_samples, intersect)
+        acc = acc + radiance * throughput
+
+        # Russian roulette + depth cap (raytracer.cpp:161-170)
+        kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
+        p_continue = jnp.max(kd, axis=-1)
+        u_rr = jax.random.uniform(k_rr, (N,))
+        cont = hit_mask & (depth < max_depth) & (u_rr <= p_continue)
+        safe_p = jnp.where(p_continue > 0.0, p_continue, 1.0)
+        rr_scale = jnp.where(p_continue > 0.0, 1.0 / safe_p, 0.0)
+
+        u = jax.random.uniform(k_dir, (2, N))
+        bounce_dir = shade.cosine_sample(attrs.s_normal, u[0], u[1])
+        bounce_orig = attrs.point + attrs.s_normal * BIAS
+
+        # terminated paths: regenerate as the next sample, or finish
+        terminated = live & jnp.logical_not(cont)
+        next_sample = sample_idx + 1
+        regen = terminated & (next_sample < samples)
+        done = done | (terminated & (next_sample >= samples))
+
+        # slot-addressed jitter: regenerated samples draw fresh independent
+        # uniforms (no per-(pixel,sample) key derivation — a vmapped
+        # fold_in per step measured ~2x total overhead)
+        r_orig, r_dirs = _primary_for_slots(
+            camera, jax.random.uniform(k_jit, (N, 2)))
+
+        sel = cont[:, None]
+        orig = jnp.where(sel, bounce_orig, jnp.where(regen[:, None],
+                                                     r_orig, orig))
+        dirs = jnp.where(sel, bounce_dir, jnp.where(regen[:, None],
+                                                    r_dirs, dirs))
+        throughput = jnp.where(
+            sel, throughput * kd * rr_scale[:, None],
+            jnp.where(regen[:, None], 1.0, throughput))
+        depth = jnp.where(cont, depth + 1, jnp.where(regen, 0, depth))
+        sample_idx = jnp.where(regen, next_sample, sample_idx)
+
+        return (step + 1, orig, dirs, throughput, depth, sample_idx,
+                done, acc)
+
+    carry0 = (jnp.int32(0), orig0, dirs0, jnp.ones((N, 3), jnp.float32),
+              jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32),
+              jnp.zeros(N, bool), jnp.zeros((N, 3), jnp.float32))
+    carry = jax.lax.while_loop(cond, body, carry0)
+    acc = carry[7]
+    return acc.reshape(H, W, 3) / float(samples)
