@@ -8,7 +8,7 @@ from orion_tpu.regen import render_regen
 from orion_tpu.io.image import save_image
 from orion_tpu.io.checkpoint import save_checkpoint, load_checkpoint
 
-CHUNK = 256
+CHUNK = 64
 TOTAL = 2048
 ps = prepare("/root/reference/assets/cornell-box.rtc")
 key = jax.random.key(0)

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override rtc x resolution")
     p.add_argument("--yres", type=int, default=None,
                    help="Override rtc y resolution")
+    p.add_argument("--regen", action="store_true",
+                   help="Use the regenerative wavefront path tracer "
+                        "(orion_tpu.regen): dead rays immediately restart "
+                        "as the next sample. Much faster at high depth "
+                        "caps; path mode only, forward-only")
     p.add_argument("--normal-maps", action="store_true",
                    help="Enable tangent-space normal mapping (the reference "
                         "ships this disabled; PARITY.md)")
@@ -75,6 +80,14 @@ def main(argv=None) -> int:
                  else max(int(ps.rtc.recursion_level), 1))
     key = jax.random.key(args.seed)
 
+    if args.regen:
+        mode = args.mode or ("whitted" if ps.rtc.lights else "path")
+        if mode != "path" or args.normal_maps:
+            print("error: --regen requires path mode (no rtc point "
+                  "lights / --mode path) and no --normal-maps",
+                  file=sys.stderr)
+            return 2
+
     t0 = time.perf_counter()
     if args.checkpoint:
         from orion_tpu.io.checkpoint import render_accumulate
@@ -83,7 +96,15 @@ def main(argv=None) -> int:
                                 light_samples=args.light_samples,
                                 max_depth=max_depth, mode=args.mode,
                                 path=args.checkpoint,
-                                every=args.checkpoint_every)
+                                every=args.checkpoint_every,
+                                regen=args.regen)
+    elif args.regen:
+        from orion_tpu.regen import render_regen
+
+        img = np.asarray(render_regen(
+            ps.scene, ps.camera, key, samples=args.samples,
+            light_samples=args.light_samples, max_depth=max_depth,
+            intersect=ps.intersect))
     else:
         from orion_tpu.render import render
 

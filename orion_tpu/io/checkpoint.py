@@ -52,9 +52,16 @@ def load_checkpoint(path: str | Path):
 
 def render_accumulate(ps, key, *, samples: int, light_samples: int,
                       max_depth: int, mode: Optional[str],
-                      path: str | Path, every: int = 64) -> np.ndarray:
+                      path: str | Path, every: int = 64,
+                      regen: bool = False) -> np.ndarray:
     """Render `samples` spp with checkpointed accumulation; returns the mean
-    radiance image. Resumes from `path` when it exists and matches."""
+    radiance image. Resumes from `path` when it exists and matches.
+
+    With `regen=True`, chunks go through the regenerative wavefront path
+    tracer (orion_tpu.regen) — much faster at high depth caps, but the
+    image is then a function of (seed, samples, chunk size): regen draws
+    chunk keys as fold_in(key, chunk_start), so resume with the same
+    `every` to keep determinism."""
     from orion_tpu.render import render
 
     key_data = np.asarray(jax.random.key_data(key))
@@ -71,11 +78,22 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
 
     while done < samples:
         n = min(every, samples - done)
-        # sample_offset keeps sample i's keys chunk-invariant (render folds
-        # fold_in(key, done + i)), so resumes bit-match a one-shot render
-        img = render(ps.scene, ps.camera, key, samples=n,
-                     max_depth=max_depth, light_samples=light_samples,
-                     mode=mode, intersect=ps.intersect, sample_offset=done)
+        if regen:
+            from orion_tpu.regen import render_regen
+
+            img = render_regen(ps.scene, ps.camera,
+                               jax.random.fold_in(key, done), samples=n,
+                               max_depth=max_depth,
+                               light_samples=light_samples,
+                               intersect=ps.intersect)
+        else:
+            # sample_offset keeps sample i's keys chunk-invariant (render
+            # folds fold_in(key, done + i)), so resumes bit-match a
+            # one-shot render
+            img = render(ps.scene, ps.camera, key, samples=n,
+                         max_depth=max_depth, light_samples=light_samples,
+                         mode=mode, intersect=ps.intersect,
+                         sample_offset=done)
         accum = accum + np.asarray(img, np.float32) * n
         done += n
         save_checkpoint(path, accum, done, key_data)

@@ -95,6 +95,45 @@ def test_checkpoint_ignores_mismatched_seed(assets_dir, tmp_path):
     np.testing.assert_allclose(img2, fresh, rtol=1e-6)
 
 
+def test_cli_regen(assets_dir, tmp_path):
+    from orion_tpu.cli import main
+
+    out = tmp_path / "regen.png"
+    rc = main([str(assets_dir / "cornell-box.rtc"), "-o", str(out),
+               "-p", "2", "--xres", "24", "--yres", "16", "--regen",
+               "--depth", "4"])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_cli_regen_rejects_whitted(assets_dir, tmp_path):
+    from orion_tpu.cli import main
+
+    # view_test.rtc has point lights -> whitted mode; --regen must refuse
+    rc = main([str(assets_dir / "view_test.rtc"),
+               "-o", str(tmp_path / "x.png"), "--regen"])
+    assert rc == 2
+
+
+def test_checkpoint_regen_resume(assets_dir, tmp_path):
+    """Regen accumulation resumes deterministically at fixed chunk size."""
+    import jax
+
+    from orion_tpu.io.checkpoint import load_checkpoint, render_accumulate
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=24, yres=16)
+    key = jax.random.key(5)
+    kw = dict(light_samples=1, max_depth=3, mode=None, regen=True)
+
+    oneshot = render_accumulate(ps, key, samples=4, path=tmp_path / "r.ckpt",
+                                every=2, **kw)
+    p = tmp_path / "s.ckpt"
+    render_accumulate(ps, key, samples=2, path=p, every=2, **kw)
+    assert load_checkpoint(p)[1] == 2
+    resumed = render_accumulate(ps, key, samples=4, path=p, every=2, **kw)
+    np.testing.assert_allclose(resumed, oneshot, rtol=1e-5, atol=1e-6)
+
+
 def test_validation_rejects_degenerate_camera(assets_dir, tmp_path):
     from orion_tpu.validate import SceneValidationError
 
