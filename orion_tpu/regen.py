@@ -39,12 +39,10 @@ from orion_tpu.ops.intersect import hit_attributes
 from orion_tpu.render import BIAS, IntersectFn, _nee, default_intersect
 
 
-def _primary_for_slots(camera: Camera, u: jax.Array):
-    """Per-slot primary rays: slot i <-> pixel i (row-major), jittered by
-    the [N,2] uniforms `u`. Camera math mirrors camera.primary_rays."""
+def _primary_for_slots(camera: Camera, u: jax.Array, pix: jax.Array):
+    """Per-slot primary rays: slot i <-> pixel pix[i] (row-major), jittered
+    by the [n,2] uniforms `u`. Camera math mirrors camera.primary_rays."""
     H, W = camera.yres, camera.xres
-    N = H * W
-    pix = jnp.arange(N, dtype=jnp.uint32)
     row = (pix // W).astype(jnp.float32)
     col = (pix % W).astype(jnp.float32)
     x = 2.0 * (col / W) - 1.0 + u[:, 0] * (2.0 / W)
@@ -52,27 +50,26 @@ def _primary_for_slots(camera: Camera, u: jax.Array):
     dirs = (camera.front[None, :]
             + x[:, None] * camera.right[None, :]
             + y[:, None] * camera.up[None, :])
-    orig = jnp.broadcast_to(camera.origin, (N, 3))
+    orig = jnp.broadcast_to(camera.origin, (pix.shape[0], 3))
     return orig, dirs
 
 
-@partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
-                                   "intersect", "max_steps"))
-def render_regen(scene, camera: Camera, key: jax.Array, *,
-                 samples: int, max_depth: int, light_samples: int = 2,
-                 intersect: Optional[IntersectFn] = None,
-                 max_steps: Optional[int] = None) -> jax.Array:
-    """Path-traced [H, W, 3] render with path regeneration (see module
-    docstring). Scenes without emissive meshes get no NEE term (matching
-    render.py's path mode)."""
-    if intersect is None:
-        intersect = default_intersect()
+def _regen_loop(scene, camera: Camera, key: jax.Array, pix: jax.Array, *,
+                samples: int, max_depth: int, light_samples: int,
+                intersect: IntersectFn,
+                max_steps: Optional[int]) -> jax.Array:
+    """Run the regenerative wavefront over the pixel tile `pix` ([n] uint32
+    row-major pixel ids; ids >= H*W are padding and render nothing).
+    Returns per-slot accumulated radiance [n, 3] (sum over samples)."""
     H, W = camera.yres, camera.xres
-    N = H * W
+    N = pix.shape[0]
     cap = max_steps if max_steps is not None else samples * (max_depth + 1)
+    pad_slot = pix >= jnp.uint32(H * W)
+    pix = jnp.minimum(pix, jnp.uint32(max(H * W - 1, 0)))
 
     orig0, dirs0 = _primary_for_slots(
-        camera, jax.random.uniform(jax.random.fold_in(key, 0xA11CE), (N, 2)))
+        camera, jax.random.uniform(jax.random.fold_in(key, 0xA11CE), (N, 2)),
+        pix)
 
     def cond(carry):
         step, done = carry[0], carry[6]
@@ -123,7 +120,7 @@ def render_regen(scene, camera: Camera, key: jax.Array, *,
         # uniforms (no per-(pixel,sample) key derivation — a vmapped
         # fold_in per step measured ~2x total overhead)
         r_orig, r_dirs = _primary_for_slots(
-            camera, jax.random.uniform(k_jit, (N, 2)))
+            camera, jax.random.uniform(k_jit, (N, 2)), pix)
 
         sel = cont[:, None]
         orig = jnp.where(sel, bounce_orig, jnp.where(regen[:, None],
@@ -141,7 +138,84 @@ def render_regen(scene, camera: Camera, key: jax.Array, *,
 
     carry0 = (jnp.int32(0), orig0, dirs0, jnp.ones((N, 3), jnp.float32),
               jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32),
-              jnp.zeros(N, bool), jnp.zeros((N, 3), jnp.float32))
+              pad_slot, jnp.zeros((N, 3), jnp.float32))
     carry = jax.lax.while_loop(cond, body, carry0)
-    acc = carry[7]
+    return carry[7]
+
+
+@partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
+                                   "intersect", "max_steps"))
+def render_regen(scene, camera: Camera, key: jax.Array, *,
+                 samples: int, max_depth: int, light_samples: int = 2,
+                 intersect: Optional[IntersectFn] = None,
+                 max_steps: Optional[int] = None) -> jax.Array:
+    """Path-traced [H, W, 3] render with path regeneration (see module
+    docstring). Scenes without emissive meshes get no NEE term (matching
+    render.py's path mode)."""
+    if intersect is None:
+        intersect = default_intersect()
+    H, W = camera.yres, camera.xres
+    acc = _regen_loop(scene, camera, key,
+                      jnp.arange(H * W, dtype=jnp.uint32),
+                      samples=samples, max_depth=max_depth,
+                      light_samples=light_samples, intersect=intersect,
+                      max_steps=max_steps)
     return acc.reshape(H, W, 3) / float(samples)
+
+
+@partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
+                                   "intersect", "max_steps", "mesh"))
+def _render_regen_shardmap_impl(scene, camera: Camera, key: jax.Array, *,
+                                samples: int, max_depth: int,
+                                light_samples: int,
+                                intersect: IntersectFn,
+                                max_steps: Optional[int], mesh) -> jax.Array:
+    from jax.sharding import PartitionSpec as P
+
+    from orion_tpu.parallel.sharding import RAY_AXIS
+
+    H, W = camera.yres, camera.xres
+    N = H * W
+    n_dev = mesh.devices.size
+    pad = (-N) % n_dev
+    pix = jnp.arange(N + pad, dtype=jnp.uint32)  # ids >= N are padding
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAY_AXIS), P()),
+             out_specs=P(RAY_AXIS), check_vma=False)
+    def tile(scene_rep, pix_tile, k):
+        # each chip runs ITS tile's while_loop to completion independently:
+        # no per-step global sync, chips with short paths finish early
+        k = jax.random.fold_in(k, jax.lax.axis_index(RAY_AXIS))
+        return _regen_loop(scene_rep, camera, k, pix_tile,
+                           samples=samples, max_depth=max_depth,
+                           light_samples=light_samples,
+                           intersect=intersect, max_steps=max_steps)
+
+    acc = tile(scene, pix, key)
+    return acc[:N].reshape(H, W, 3) / float(samples)
+
+
+def render_regen_shardmap(scene, camera: Camera, key: jax.Array, *,
+                          mesh=None, samples: int, max_depth: int,
+                          light_samples: int = 2,
+                          intersect: Optional[IntersectFn] = None,
+                          max_steps: Optional[int] = None) -> jax.Array:
+    """Multi-chip regenerative path tracing: the pixel wavefront shards
+    across `mesh` (default: all devices) via shard_map, scene replicated.
+
+    Unlike the dense sharded renderers (parallel/), each chip's regen
+    `while_loop` terminates on its own tile — the embarrassingly parallel
+    pixel decomposition of the reference's OpenMP loop (raytracer.cpp:69-88)
+    with per-chip early exit. RNG folds the mesh axis index per shard, so
+    images are deterministic per (seed, device count)."""
+    if intersect is None:
+        intersect = default_intersect()
+    if mesh is None:
+        from orion_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh()
+    return _render_regen_shardmap_impl(scene, camera, key, samples=samples,
+                                       max_depth=max_depth,
+                                       light_samples=light_samples,
+                                       intersect=intersect,
+                                       max_steps=max_steps, mesh=mesh)

@@ -55,6 +55,40 @@ def test_regen_converges_with_samples(cornell_ps):
     assert errs[1] < errs[0]
 
 
+def test_regen_shardmap_statistical_match(cornell_ps):
+    """8-virtual-device sharded regen agrees with single-device regen at
+    the MC level (different RNG streams per shard by design)."""
+    from orion_tpu.parallel.sharding import make_mesh
+    from orion_tpu.regen import render_regen_shardmap
+
+    ps = cornell_ps
+    mesh = make_mesh(jax.devices()[:8])
+    kw = dict(samples=24, max_depth=6, light_samples=2,
+              intersect=ps.intersect)
+    a = np.asarray(render_regen(ps.scene, ps.camera, jax.random.key(0), **kw))
+    b = np.asarray(render_regen_shardmap(ps.scene, ps.camera,
+                                         jax.random.key(0), mesh=mesh, **kw))
+    assert np.isfinite(b).all() and b.max() > 0
+    assert abs(a.mean() - b.mean()) < 0.1 * a.mean()
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.85
+
+
+def test_regen_shardmap_deterministic_and_padded(cornell_ps, assets_dir):
+    """Deterministic per (seed, device count); works when H*W % n_dev != 0
+    (padding slots must contribute nothing)."""
+    from orion_tpu.parallel.sharding import make_mesh
+    from orion_tpu.regen import render_regen_shardmap
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=23, yres=9)  # 207 px
+    mesh = make_mesh(jax.devices()[:6])
+    kw = dict(samples=4, max_depth=4, light_samples=1,
+              intersect=ps.intersect, mesh=mesh)
+    a = render_regen_shardmap(ps.scene, ps.camera, jax.random.key(3), **kw)
+    b = render_regen_shardmap(ps.scene, ps.camera, jax.random.key(3), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all() and np.asarray(a).max() > 0
+
+
 def test_regen_step_cap_terminates(cornell_ps):
     """max_steps caps the loop even for pathological depth settings."""
     ps = cornell_ps
