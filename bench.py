@@ -22,7 +22,8 @@ BASELINE_PRIMARY_RAYS_PER_S = 0.83e6  # reference CPU anchor (BASELINE.md)
 ASSETS = "/root/reference/assets"
 
 
-def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters):
+def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters,
+                 regen=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,10 +31,19 @@ def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters):
 
     key = jax.random.key(0)
 
-    def go():
-        return render(ps.scene, ps.camera, key, samples=samples,
-                      max_depth=depth, light_samples=light_samples,
-                      mode=mode, intersect=ps.intersect)
+    if regen:
+        from orion_tpu.regen import render_regen
+
+        def go():
+            return render_regen(ps.scene, ps.camera, key, samples=samples,
+                                max_depth=depth,
+                                light_samples=light_samples,
+                                intersect=ps.intersect)
+    else:
+        def go():
+            return render(ps.scene, ps.camera, key, samples=samples,
+                          max_depth=depth, light_samples=light_samples,
+                          mode=mode, intersect=ps.intersect)
 
     img = go()
     assert bool(jnp.isfinite(img).all()), "non-finite radiance"
@@ -46,24 +56,31 @@ def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters):
 
 
 def run_config(name, rtc, xres, yres, samples, depth, light_samples,
-               iters=3, mode=None, backends=(None,)):
-    """Render with each candidate backend; keep the fastest."""
+               iters=3, mode=None, backends=(None,), try_regen=False):
+    """Render with each candidate backend (and optionally the regenerative
+    wavefront renderer — same estimator, tests/test_regen.py); keep the
+    fastest."""
     from orion_tpu.engine import prepare
 
     best = None
+    regen_flags = (False, True) if try_regen else (False,)
     for force in backends:
-        try:
-            ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
-                         force_backend=force)
-            dt = _time_render(ps, xres, yres, samples, depth, light_samples,
-                              mode, iters)
-        except Exception as e:
-            print(f"[bench] {name} backend {force}: {e!r}", file=sys.stderr)
-            continue
-        if best is None or dt < best["seconds"]:
-            best = {"name": name, "backend": ps.backend,
-                    "seconds": round(dt, 4),
-                    "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
+        for regen in regen_flags:
+            try:
+                ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
+                             force_backend=force)
+                dt = _time_render(ps, xres, yres, samples, depth,
+                                  light_samples, mode, iters, regen=regen)
+            except Exception as e:
+                print(f"[bench] {name} backend {force} regen={regen}: {e!r}",
+                      file=sys.stderr)
+                continue
+            if best is None or dt < best["seconds"]:
+                best = {"name": name,
+                        "backend": ps.backend + ("+regen" if regen else ""),
+                        "seconds": round(dt, 4),
+                        "primary_rays_per_s":
+                            round(xres * yres * samples / dt, 1)}
     if best is None:
         raise RuntimeError(f"all backends failed for {name}")
     return best
@@ -105,7 +122,8 @@ def run_train_config():
 def main():
     headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
                           512, 512, 16, 8, 2,
-                          backends=("brute-pallas", "brute-jnp"))
+                          backends=("brute-pallas", "brute-jnp"),
+                          try_regen=True)
     # emit the driver's line as soon as the headline lands — later configs
     # must not be able to take it down (the tunnel can wedge mid-run)
     rays_per_s = headline["primary_rays_per_s"]
@@ -127,6 +145,13 @@ def main():
         details.append(run_config("view_test_path_512_4spp",
                                   "view_test.rtc", 512, 512, 4, 4, 2,
                                   backends=(None,)))
+        # deep-depth flagship analogue: regen's structural win (spp x mean
+        # path length instead of spp x depth cap)
+        details.append(run_config("cornell_path_512_16spp_depth100",
+                                  "cornell-box.rtc", 512, 512, 16, 100, 2,
+                                  iters=2, backends=("brute-pallas",
+                                                     "brute-jnp"),
+                                  try_regen=True))
     except Exception as e:  # secondary configs must not break the headline
         details.append({"error": repr(e)})
 
