@@ -27,4 +27,8 @@ from orion_tpu.engine import (                              # noqa: F401
     render_report,
 )
 from orion_tpu.render import render, trace_wavefront        # noqa: F401
+from orion_tpu.regen import (                               # noqa: F401
+    render_regen,
+    render_regen_shardmap,
+)
 from orion_tpu.validate import SceneValidationError         # noqa: F401
