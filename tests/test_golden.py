@@ -28,6 +28,9 @@ SPECS = {
     "nanosuit_whitted_32x48_s1": ("nanosuit.rtc", dict(xres=32, yres=48),
                                   dict(samples=1, max_depth=2,
                                        light_samples=1, mode="whitted")),
+    "hindu_whitted_48x32_s2": ("hindu.rtc", dict(xres=48, yres=32),
+                               dict(samples=2, max_depth=1,
+                                    light_samples=1, mode="whitted")),
 }
 
 
