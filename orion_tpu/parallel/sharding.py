@@ -11,7 +11,8 @@ backward pass of the training step.
 
 Because sharding is expressed as annotations (`with_sharding_constraint`)
 rather than explicit shard_map bodies, `jax.random` keeps *global* counter
-semantics: the same key produces the bit-identical image on 1 chip or N —
+semantics: the same key produces the same image (to float tolerance —
+XLA may reorder reductions across shardings) on 1 chip or N —
 the determinism test the reference can't express (SURVEY.md §5 race
 detection row).
 """

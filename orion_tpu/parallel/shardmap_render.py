@@ -3,7 +3,8 @@
 Two multi-chip paths exist, with different trade-offs:
 
   - parallel/sharding.py (GSPMD): sharding constraints + XLA's partitioner.
-    Keeps *global* RNG semantics (same key => bit-identical image on any
+    Keeps *global* RNG semantics (same key => same image, to float
+    reduction tolerance, on any
     device count), but cannot partition an opaque Pallas custom call — so
     it is limited to the jnp intersection backends.
 
@@ -14,7 +15,7 @@ Two multi-chip paths exist, with different trade-offs:
     parallel pixel decomposition (raytracer.cpp:69-88) lifted to chips.
     Per-shard RNG decorrelation folds the mesh axis index into the key,
     so images are deterministic per (seed, device count) but not
-    bit-identical across device counts (documented divergence from the
+    sample-equivalent across device counts (documented divergence from the
     GSPMD path).
 
 The differentiable path also works here: Pallas intersections are

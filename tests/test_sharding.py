@@ -24,7 +24,7 @@ def mesh8():
 
 
 def test_sharded_matches_single_device(cornell_scene, mesh8):
-    """Same key => bit-identical image on 1 device and on 8 (determinism
+    """Same key => same image (float tolerance) on 1 device and on 8 (determinism
     across shardings — the structural race-freedom test, SURVEY.md §5)."""
     scene, rtc = cornell_scene
     rtc.xres, rtc.yres = 24, 16
