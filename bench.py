@@ -43,7 +43,8 @@ def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters,
         def go():
             return render(ps.scene, ps.camera, key, samples=samples,
                           max_depth=depth, light_samples=light_samples,
-                          mode=mode, intersect=ps.intersect)
+                          mode=mode, intersect=ps.intersect,
+                          shadow_intersect=ps.shadow_intersect)
 
     img = go()
     assert bool(jnp.isfinite(img).all()), "non-finite radiance"

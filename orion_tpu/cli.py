@@ -112,7 +112,8 @@ def main(argv=None) -> int:
             ps.scene, ps.camera, key, samples=args.samples,
             light_samples=args.light_samples, max_depth=max_depth,
             mode=args.mode, intersect=ps.intersect,
-            normal_maps=args.normal_maps))
+            normal_maps=args.normal_maps,
+            shadow_intersect=ps.shadow_intersect))
     dt = time.perf_counter() - t0
 
     save_image(args.output, img)

@@ -49,6 +49,9 @@ class PreparedScene:
     bvh: Optional[BVH] = None
     bvh_stats: Optional[BuildStats] = None
     build_seconds: float = 0.0
+    # occlusion-only (any-hit) backend for Whitted shadow rays, where only
+    # hit.mask is consumed; None => reuse `intersect`
+    shadow_intersect: Optional[IntersectFn] = None
 
 
 def select_intersect(scene: Scene, *, strategy: str = SAH,
@@ -77,15 +80,17 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
 
         return intersect_brute, "brute-jnp", None, None
 
-    leaf = TPU_LEAF_SIZE if on_tpu else DEFAULT_LEAF
+    use_pallas = on_tpu if force_impl is None else force_impl == "pallas"
+    # the Pallas kernel needs 128-wide leaf bundles; the jnp walk prefers
+    # small leaves
+    leaf = TPU_LEAF_SIZE if use_pallas else DEFAULT_LEAF
     bvh, stats = build_bvh(np.asarray(scene.tri_v0),
                            np.asarray(scene.tri_e1),
                            np.asarray(scene.tri_e2),
                            np.asarray(scene.tri_valid),
                            strategy=strategy, leaf_size=leaf,
-                           leaf_width=leaf if on_tpu else None,
+                           leaf_width=leaf if use_pallas else None,
                            order_signs=order_signs)
-    use_pallas = on_tpu if force_impl is None else force_impl == "pallas"
     if use_pallas:
         from orion_tpu.ops.pallas_bvh import (RESIDENT_MAX_BUNDLED,
                                               make_bvh_intersect_pallas)
@@ -124,9 +129,17 @@ def prepare(rtc_path: str | Path, *, strategy: str = SAH,
     fn, backend, bvh, stats = select_intersect(scene, strategy=strategy,
                                                force=force_backend,
                                                order_signs=signs)
+    shadow_fn = None
+    if backend == "bvh-pallas":
+        from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
+
+        shadow_fn = make_bvh_intersect_pallas(bvh, scene,
+                                              ray_block=TPU_RAY_BLOCK,
+                                              any_hit=True)
     return PreparedScene(scene=scene, rtc=rtc, camera=camera, intersect=fn,
                          backend=backend, bvh=bvh, bvh_stats=stats,
-                         build_seconds=time.perf_counter() - t0)
+                         build_seconds=time.perf_counter() - t0,
+                         shadow_intersect=shadow_fn)
 
 
 def render_prepared(ps: PreparedScene, key, *, samples: int = 1,
@@ -141,7 +154,8 @@ def render_prepared(ps: PreparedScene, key, *, samples: int = 1,
         max_depth = max(int(ps.rtc.recursion_level), 1)
     return render(ps.scene, ps.camera, key, samples=samples,
                   max_depth=max_depth, light_samples=light_samples,
-                  mode=mode, intersect=ps.intersect)
+                  mode=mode, intersect=ps.intersect,
+                  shadow_intersect=ps.shadow_intersect)
 
 
 def render_report(ps: PreparedScene, *, samples: int, light_samples: int,

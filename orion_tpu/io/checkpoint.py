@@ -93,7 +93,8 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
             img = render(ps.scene, ps.camera, key, samples=n,
                          max_depth=max_depth, light_samples=light_samples,
                          mode=mode, intersect=ps.intersect,
-                         sample_offset=done)
+                         sample_offset=done,
+                         shadow_intersect=ps.shadow_intersect)
         accum = accum + np.asarray(img, np.float32) * n
         done += n
         save_checkpoint(path, accum, done, key_data)

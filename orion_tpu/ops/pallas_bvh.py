@@ -51,7 +51,12 @@ RESIDENT_MAX_BUNDLED = 120 * 1024
 _BIG = np.float32(3.0e38)
 
 
-def _make_kernel(M: int, W: int):
+def _make_kernel(M: int, W: int, any_hit: bool = False):
+    """any_hit=True builds the occlusion variant: a lane retires the moment
+    it finds ANY intersection (its t_best drops to -_BIG so it stops voting
+    for subtree descent), and the whole block exits once every lane has
+    hit. Matches the Whitted shadow quirk — any hit at any t blocks
+    (raytracer.cpp:196-201) — where nearest-hit order is irrelevant."""
     assert W == LEAF_WIDTH
 
     def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start,
@@ -81,7 +86,7 @@ def _make_kernel(M: int, W: int):
                                            jnp.maximum(ty0, ty1)),
                                jnp.maximum(tz0, tz1))
             lane_hit = (tmax >= tmin) & (tmax > 0.0) & (tmin < t_best)
-            any_hit = jnp.any(lane_hit)
+            any_lane_hit = jnp.any(lane_hit)
 
             start = n_start[ptr]
             is_leaf = start >= 0
@@ -99,18 +104,24 @@ def _make_kernel(M: int, W: int):
                                         jnp.int32(2**30)),
                               axis=1, keepdims=True) + start
                 better = (t_min < t_best) & (t_min < _BIG)
+                if any_hit:
+                    return (jnp.where(better, -_BIG, t_best),
+                            jnp.where(better, col, col_best))
                 return (jnp.where(better, t_min, t_best),
                         jnp.where(better, col, col_best))
 
             t_best, col_best = jax.lax.cond(
-                any_hit & is_leaf, leaf_case, lambda s: s,
+                any_lane_hit & is_leaf, leaf_case, lambda s: s,
                 (t_best, col_best))
 
-            descend = any_hit & jnp.logical_not(is_leaf)
+            descend = any_lane_hit & jnp.logical_not(is_leaf)
             ptr = jnp.where(descend, ptr + 1, n_skip[ptr])
             return ptr, t_best, col_best
 
         def cond(carry):
+            if any_hit:
+                return (carry[0] < M) & jnp.logical_not(
+                    jnp.all(carry[2] >= 0))
             return carry[0] < M
 
         rb = r_ref.shape[0]
@@ -118,7 +129,11 @@ def _make_kernel(M: int, W: int):
         i0 = jnp.full((rb, 1), -1, jnp.int32)
         _, t_best, col_best = jax.lax.while_loop(cond, body,
                                                  (jnp.int32(0), t0, i0))
-        t_out[:, :] = jnp.where(col_best >= 0, t_best, jnp.inf)
+        if any_hit:
+            # occlusion-only record: t carries no geometric meaning
+            t_out[:, :] = jnp.where(col_best >= 0, 1.0, jnp.inf)
+        else:
+            t_out[:, :] = jnp.where(col_best >= 0, t_best, jnp.inf)
         id_out[:, :] = col_best
 
     return kernel
@@ -152,18 +167,19 @@ def pack_tri_comps16(tri_v0, tri_e1, tri_e2, lane_mult: int = 128):
 
 
 @partial(jax.jit, static_argnames=("leaf_width", "num_nodes", "ray_block",
-                                   "interpret"))
+                                   "interpret", "any_hit"))
 def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
                           leaf_width: int, num_nodes: int,
                           ray_block: int = RAY_BLOCK,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          any_hit: bool = False):
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
     rays = pack_rays8(orig, dirs, N_pad)
 
     grid = (N_pad // ray_block,)
-    kernel = _make_kernel(num_nodes, leaf_width)
+    kernel = _make_kernel(num_nodes, leaf_width, any_hit=any_hit)
 
     ray_spec = pl.BlockSpec((ray_block, 8), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -199,12 +215,18 @@ def _bvh_device_layout(bvh: BVH):
 
 
 def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              any_hit: bool = False):
     """IntersectFn closure: Pallas packet traversal over a flattened BVH.
 
     Requires bvh.leaf_width == 128 (the engine builds TPU trees that way).
     Maps bundled rows to global scene triangle ids (tri_orig), matching
     the other backends' Hit contract.
+
+    any_hit=True returns occlusion-only Hits (mask/tri_id of SOME hit,
+    t=1.0 — not the nearest): lanes retire on first intersection and
+    blocks exit early. Only valid where callers use hit.mask alone
+    (Whitted shadow rays, render.py `shadow_intersect`).
     """
     if bvh.leaf_width != LEAF_WIDTH:
         raise ValueError(
@@ -225,7 +247,7 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
             node_scalars, tri_data,
             jax.lax.stop_gradient(orig), jax.lax.stop_gradient(dirs),
             leaf_width=bvh.leaf_width, num_nodes=bvh.num_nodes,
-            ray_block=ray_block, interpret=interpret)
+            ray_block=ray_block, interpret=interpret, any_hit=any_hit)
         tri_id = jnp.where(row >= 0, tri_orig[jnp.maximum(row, 0)], -1)
         tri_id = jnp.where(tri_id < num_triangles, tri_id, -1)
         return Hit(t=jnp.where(tri_id >= 0, t, jnp.inf), tri_id=tri_id)

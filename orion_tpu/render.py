@@ -179,8 +179,12 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
 
 
 def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
-                    intersect: IntersectFn, normal_maps: bool = False):
-    """One Whitted wavefront step (raytracer.cpp:195-207)."""
+                    intersect: IntersectFn, normal_maps: bool = False,
+                    shadow_intersect: Optional[IntersectFn] = None):
+    """One Whitted wavefront step (raytracer.cpp:195-207).
+
+    shadow_intersect: occlusion-only backend for the stacked shadow rays
+    (only hit.mask is consumed — any-hit kernels are valid here)."""
     orig, dirs, throughput, alive = carry
     hit = intersect(scene, orig, dirs)
     attrs = hit_attributes(scene, orig, dirs, hit)
@@ -200,8 +204,8 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
         to_light_all = jnp.concatenate(
             [scene.light_pos[li][None, :] - attrs.point for li in range(L)],
             axis=0)
-        s_hit = intersect(scene, jnp.tile(shadow_origin, (L, 1)),
-                          to_light_all)
+        s_fn = shadow_intersect if shadow_intersect is not None else intersect
+        s_hit = s_fn(scene, jnp.tile(shadow_origin, (L, 1)), to_light_all)
         for li in range(L):
             lpos = scene.light_pos[li]
             # reference quirk kept: ANY intersection blocks, even geometry
@@ -242,7 +246,9 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     intersect: Optional[IntersectFn] = None,
                     reference_frame: bool = False,
                     normal_maps: bool = False,
-                    sort_bounces: bool = False) -> jax.Array:
+                    sort_bounces: bool = False,
+                    shadow_intersect: Optional[IntersectFn] = None
+                    ) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     mode: "path" | "whitted" | None (auto: whitted iff the scene has point
@@ -272,7 +278,7 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     elif mode == "whitted":
         def bounce(carry, depth):
             return _whitted_bounce(scene, carry, depth, max_depth, intersect,
-                                   normal_maps)
+                                   normal_maps, shadow_intersect)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -305,7 +311,8 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
 @partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
                                    "mode", "intersect", "reference_frame",
                                    "shared_jitter", "sample_offset",
-                                   "normal_maps", "sort_bounces"))
+                                   "normal_maps", "sort_bounces",
+                                   "shadow_intersect"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
@@ -314,7 +321,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
            shared_jitter: bool = True,
            sample_offset: int = 0,
            normal_maps: bool = False,
-           sort_bounces: bool = False) -> jax.Array:
+           sort_bounces: bool = False,
+           shadow_intersect: Optional[IntersectFn] = None) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -345,7 +353,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
                                    intersect=intersect,
                                    reference_frame=reference_frame,
                                    normal_maps=normal_maps,
-                                   sort_bounces=sort_bounces)
+                                   sort_bounces=sort_bounces,
+                                   shadow_intersect=shadow_intersect)
         return acc + radiance.reshape(H, W, 3), None
 
     acc0 = jnp.zeros((H, W, 3), jnp.float32)

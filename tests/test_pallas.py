@@ -61,6 +61,30 @@ def test_pallas_bvh_interpret(assets_dir, scene_name):
     _assert_hits_match(scene, h, h_ref)
 
 
+@pytest.mark.parametrize("scene_name", ["view_test", "cornell-box",
+                                        "nanosuit"])
+def test_pallas_bvh_any_hit_occlusion(assets_dir, scene_name):
+    """The any-hit variant's mask must equal the closest-hit mask (it may
+    report a different triangle, and t is occlusion-only)."""
+    scene, orig, dirs = _scene_rays(assets_dir, scene_name)
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=SAH,
+                       leaf_size=128, leaf_width=128)
+    h_ref = intersect_brute(scene, orig, dirs)
+    h = make_bvh_intersect_pallas(bvh, scene, any_hit=True)(scene, orig,
+                                                            dirs)
+    np.testing.assert_array_equal(np.asarray(h.mask), np.asarray(h_ref.mask))
+    # reported ids are real intersections: re-test the reported triangle
+    from orion_tpu.ops.intersect import mt_test
+
+    ids = np.asarray(h.tri_id)
+    m = np.asarray(h.mask)
+    t_all = np.asarray(mt_test(orig, dirs, scene.tri_v0, scene.tri_e1,
+                               scene.tri_e2, scene.tri_valid))
+    assert np.isfinite(t_all[m, ids[m]]).all()
+
+
 def test_pallas_brute_under_grad(assets_dir):
     """The Pallas backend must compose with jax.grad (ids are detached;
     hit_attributes recomputes differentiably)."""
