@@ -32,6 +32,8 @@ def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters,
     key = jax.random.key(0)
 
     if regen:
+        if mode not in (None, "path"):
+            raise ValueError("regen timing is path-mode only")
         from orion_tpu.regen import render_regen
 
         def go():
@@ -66,10 +68,14 @@ def run_config(name, rtc, xres, yres, samples, depth, light_samples,
     best = None
     regen_flags = (False, True) if try_regen else (False,)
     for force in backends:
+        try:
+            ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
+                         force_backend=force)
+        except Exception as e:
+            print(f"[bench] {name} prepare {force}: {e!r}", file=sys.stderr)
+            continue
         for regen in regen_flags:
             try:
-                ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
-                             force_backend=force)
                 dt = _time_render(ps, xres, yres, samples, depth,
                                   light_samples, mode, iters, regen=regen)
             except Exception as e:

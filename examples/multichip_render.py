@@ -58,16 +58,23 @@ c = np.asarray(render_shardmap(ps.scene, ps.camera, key, mesh=meshN,
 print(f"shard_map mean {c.mean():.5f} (GSPMD mean {a.mean():.5f})")
 
 # 3. regenerative wavefront, sharded
-t0 = time.perf_counter()
 d = np.asarray(render_regen_shardmap(ps.scene, ps.camera, key, mesh=meshN,
                                      intersect=ps.intersect, **kw))
-tN = time.perf_counter() - t0
-print(f"regen shard_map mean {d.mean():.5f} in {tN:.2f}s")
+print(f"regen shard_map mean {d.mean():.5f}")
 
-# scaling report (virtual devices share host cores, so efficiency here is
-# illustrative; on a pod slice each mesh entry is a real chip)
-t0 = time.perf_counter()
-np.asarray(render_regen_shardmap(ps.scene, ps.camera, key, mesh=mesh1,
-                                 intersect=ps.intersect, **kw))
-t1 = time.perf_counter() - t0
+
+# scaling report: each mesh is a separate compilation, so warm up each
+# config before timing (otherwise the 'speedup' is a ratio of XLA compile
+# times). Virtual devices share host cores — efficiency here is
+# illustrative; on a pod slice each mesh entry is a real chip.
+def timed(mesh):
+    np.asarray(render_regen_shardmap(ps.scene, ps.camera, key, mesh=mesh,
+                                     intersect=ps.intersect, **kw))  # warm
+    t0 = time.perf_counter()
+    np.asarray(render_regen_shardmap(ps.scene, ps.camera, key, mesh=mesh,
+                                     intersect=ps.intersect, **kw))
+    return time.perf_counter() - t0
+
+
+t1, tN = timed(mesh1), timed(meshN)
 print("scaling:", scaling_report(t1, tN, N_DEV))

@@ -130,12 +130,21 @@ def prepare(rtc_path: str | Path, *, strategy: str = SAH,
                                                force=force_backend,
                                                order_signs=signs)
     shadow_fn = None
-    if backend == "bvh-pallas":
-        from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
+    if backend == "bvh-pallas" and scene.num_lights > 0:
+        # Whitted scenes get an any-hit occlusion kernel for shadow rays;
+        # rebuild both closures over ONE shared device layout (otherwise
+        # each holds its own copy of the node + triangle buffers). Path
+        # scenes never consume shadow_intersect (NEE needs nearest-hit
+        # emitter identity) — skip the build entirely.
+        from orion_tpu.ops.pallas_bvh import (_bvh_device_layout,
+                                              make_bvh_intersect_pallas)
 
+        layout = _bvh_device_layout(bvh)
+        fn = make_bvh_intersect_pallas(bvh, scene, ray_block=TPU_RAY_BLOCK,
+                                       layout=layout)
         shadow_fn = make_bvh_intersect_pallas(bvh, scene,
                                               ray_block=TPU_RAY_BLOCK,
-                                              any_hit=True)
+                                              any_hit=True, layout=layout)
     return PreparedScene(scene=scene, rtc=rtc, camera=camera, intersect=fn,
                          backend=backend, bvh=bvh, bvh_stats=stats,
                          build_seconds=time.perf_counter() - t0,

@@ -7,10 +7,13 @@ survive preemption: we render in sample chunks and persist
 (accumulated radiance, samples done, seed) after each chunk; re-running
 with the same checkpoint path resumes where it stopped.
 
-Determinism: chunk k always draws its jitter/path keys from
-fold_in(base_key, chunk_start + i) per sample index i, so the final image
-is a function of (seed, total samples) alone — independent of chunk size
-or how many times the render was interrupted and resumed.
+Determinism: in the standard mode, chunk k always draws its jitter/path
+keys from fold_in(base_key, chunk_start + i) per sample index i, so the
+final image is a function of (seed, total samples) alone — independent of
+chunk size or how many times the render was interrupted and resumed. The
+regen mode (regen=True) draws chunk keys from fold_in(key, chunk_start),
+so its image additionally depends on the chunk size: resume with the same
+`every` to reproduce.
 """
 
 from __future__ import annotations
@@ -63,6 +66,12 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
     chunk keys as fold_in(key, chunk_start), so resume with the same
     `every` to keep determinism."""
     from orion_tpu.render import render
+
+    if regen and (mode == "whitted"
+                  or (mode is None and ps.scene.num_lights > 0)):
+        raise ValueError(
+            "regen=True is path-mode only (render_regen has no Whitted "
+            "support); this scene would render Whitted")
 
     key_data = np.asarray(jax.random.key_data(key))
     H, W = ps.rtc.yres, ps.rtc.xres

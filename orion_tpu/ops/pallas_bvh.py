@@ -216,7 +216,7 @@ def _bvh_device_layout(bvh: BVH):
 
 def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
                               interpret: bool | None = None,
-                              any_hit: bool = False):
+                              any_hit: bool = False, layout=None):
     """IntersectFn closure: Pallas packet traversal over a flattened BVH.
 
     Requires bvh.leaf_width == 128 (the engine builds TPU trees that way).
@@ -227,6 +227,10 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
     t=1.0 — not the nearest): lanes retire on first intersection and
     blocks exit early. Only valid where callers use hit.mask alone
     (Whitted shadow rays, render.py `shadow_intersect`).
+
+    layout: a `_bvh_device_layout(bvh)` result to share node/triangle
+    device buffers between variants built from the same tree (the
+    closest-hit and any-hit closures otherwise each hold a copy).
     """
     if bvh.leaf_width != LEAF_WIDTH:
         raise ValueError(
@@ -238,7 +242,8 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
         raise ValueError(
             f"{bvh.num_bundled} bundled triangles exceed the VMEM residency "
             f"cap ({RESIDENT_MAX_BUNDLED}); use the jnp traversal backend")
-    node_scalars, tri_data = _bvh_device_layout(bvh)
+    node_scalars, tri_data = (layout if layout is not None
+                              else _bvh_device_layout(bvh))
     tri_orig = bvh.tri_orig
     num_triangles = scene.num_triangles
 
