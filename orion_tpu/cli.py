@@ -3,8 +3,8 @@
 Mirrors the reference launcher's surface (/root/reference/orion/
 launcher.cpp:15-45): positional rtc file; -o/--output; -p pixel samples;
 -l shadow-ray (light) samples. The reference's --threads flag maps to
-nothing here — parallelism is the TPU chip (and --devices shards rays
-across a mesh when more than one device is available).
+nothing here — parallelism is the TPU chip (and --shard spreads rays
+across a device mesh when more than one device is visible).
 
 Usage:
     python -m orion_tpu.cli scene.rtc -o out.png -p 16 -l 2
@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override rtc x resolution")
     p.add_argument("--yres", type=int, default=None,
                    help="Override rtc y resolution")
+    p.add_argument("--shard", action="store_true",
+                   help="Shard rays across ALL visible devices via "
+                        "shard_map (scene replicated per chip; no-op "
+                        "gain on one device). Composes with --regen")
     p.add_argument("--regen", action="store_true",
                    help="Use the regenerative wavefront path tracer "
                         "(orion_tpu.regen): dead rays immediately restart "
@@ -89,7 +93,29 @@ def main(argv=None) -> int:
             return 2
 
     t0 = time.perf_counter()
-    if args.checkpoint:
+    if args.shard and args.checkpoint:
+        print("error: --shard does not compose with --checkpoint yet",
+              file=sys.stderr)
+        return 2
+    if args.shard:
+        from orion_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh()
+        if args.regen:
+            from orion_tpu.regen import render_regen_shardmap
+
+            img = np.asarray(render_regen_shardmap(
+                ps.scene, ps.camera, key, mesh=mesh, samples=args.samples,
+                light_samples=args.light_samples, max_depth=max_depth,
+                intersect=ps.intersect))
+        else:
+            from orion_tpu.parallel.shardmap_render import render_shardmap
+
+            img = np.asarray(render_shardmap(
+                ps.scene, ps.camera, key, mesh=mesh, samples=args.samples,
+                light_samples=args.light_samples, max_depth=max_depth,
+                mode=args.mode, intersect=ps.intersect))
+    elif args.checkpoint:
         from orion_tpu.io.checkpoint import render_accumulate
 
         img = render_accumulate(ps, key, samples=args.samples,

@@ -149,8 +149,9 @@ def make_bvh_intersect(bvh: BVH):
     (same ids into scene SoA tables for hit_attributes).
     """
 
-    def intersect(scene, orig, dirs) -> Hit:
+    def intersect(scene, orig, dirs, *, alive=None) -> Hit:
         del scene  # geometry lives in the bvh's bundled copies
+        del alive  # protocol arg; the batched jnp walk is dense anyway
         t, row, _ = traverse(bvh,
                              jax.lax.stop_gradient(orig),
                              jax.lax.stop_gradient(dirs))

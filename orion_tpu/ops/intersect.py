@@ -101,13 +101,18 @@ def _intersect_chunk(orig, dirs, v0, e1, e2, valid):
 
 @partial(jax.jit, static_argnames=("chunk",))
 def intersect_brute(scene: Scene, orig: jax.Array, dirs: jax.Array,
-                    chunk: int = 4096) -> Hit:
+                    chunk: int = 4096, *, alive=None) -> Hit:
     """Brute-force nearest intersection of N rays against ALL scene triangles.
 
     The oracle for every other backend (and the production path for small
     scenes like the Cornell box, where T <= a few hundred). Rays are processed
     in chunks of `chunk` to bound the [chunk, T] working set.
+
+    alive: optional [N] bool — part of the IntersectFn protocol (the Pallas
+    kernels skip dead blocks); the dense jnp sweep computes everything
+    regardless, so it is accepted and ignored.
     """
+    del alive
     N = orig.shape[0]
     v0, e1, e2, valid = scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_valid
     if N <= chunk:

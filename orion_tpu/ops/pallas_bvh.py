@@ -64,6 +64,7 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
         o = (r_ref[:, 0:1], r_ref[:, 1:2], r_ref[:, 2:3])   # [RB,1]
         d = (r_ref[:, 3:4], r_ref[:, 4:5], r_ref[:, 5:6])
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+        lane_alive = r_ref[:, 6:7] > 0.0                    # [RB,1]
 
         col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
 
@@ -120,12 +121,17 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
 
         def cond(carry):
             if any_hit:
-                return (carry[0] < M) & jnp.logical_not(
-                    jnp.all(carry[2] >= 0))
+                # a lane is settled when it has hit (col >= 0) or was
+                # dead on entry (t_best < 0 with no hit recorded)
+                settled = (carry[2] >= 0) | (carry[1] < 0.0)
+                return (carry[0] < M) & jnp.logical_not(jnp.all(settled))
             return carry[0] < M
 
         rb = r_ref.shape[0]
-        t0 = jnp.full((rb, 1), _BIG, jnp.float32)
+        # dead lanes start retired (t_best = -_BIG fails every tmin <
+        # t_best vote): a fully-dead block leaves the root immediately
+        # via its skip pointer and the while_loop ends in one step
+        t0 = jnp.where(lane_alive, _BIG, -_BIG)
         i0 = jnp.full((rb, 1), -1, jnp.int32)
         _, t_best, col_best = jax.lax.while_loop(cond, body,
                                                  (jnp.int32(0), t0, i0))
@@ -143,14 +149,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pack_rays8(orig, dirs, n_pad: int):
-    """[N,3]x2 -> [N_pad, 8] rows (ox oy oz dx dy dz 0 0); padding rows
-    get dir=(1,1,1) so they do harmless work."""
+def pack_rays8(orig, dirs, n_pad: int, alive=None):
+    """[N,3]x2 -> [N_pad, 8] rows (ox oy oz dx dy dz alive 0); padding
+    rows are dead (alive=0) and get dir=(1,1,1) so slab math stays
+    finite."""
     N = orig.shape[0]
     data = jnp.zeros((n_pad, 8), jnp.float32)
     data = data.at[:N, 0:3].set(orig)
     data = data.at[:N, 3:6].set(dirs)
     data = data.at[N:, 3:6].set(1.0)
+    if alive is None:
+        data = data.at[:N, 6].set(1.0)
+    else:
+        data = data.at[:N, 6].set(alive.astype(jnp.float32))
     return data
 
 
@@ -168,7 +179,7 @@ def pack_tri_comps16(tri_v0, tri_e1, tri_e2, lane_mult: int = 128):
 
 @partial(jax.jit, static_argnames=("leaf_width", "num_nodes", "ray_block",
                                    "interpret", "any_hit"))
-def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
+def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, alive=None, *,
                           leaf_width: int, num_nodes: int,
                           ray_block: int = RAY_BLOCK,
                           interpret: bool = False,
@@ -176,7 +187,7 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, *,
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    rays = pack_rays8(orig, dirs, N_pad)
+    rays = pack_rays8(orig, dirs, N_pad, alive)
 
     grid = (N_pad // ray_block,)
     kernel = _make_kernel(num_nodes, leaf_width, any_hit=any_hit)
@@ -247,10 +258,11 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
     tri_orig = bvh.tri_orig
     num_triangles = scene.num_triangles
 
-    def intersect(scene, orig, dirs) -> Hit:
+    def intersect(scene, orig, dirs, *, alive=None) -> Hit:
         t, row = _traverse_pallas_impl(
             node_scalars, tri_data,
             jax.lax.stop_gradient(orig), jax.lax.stop_gradient(dirs),
+            alive,
             leaf_width=bvh.leaf_width, num_nodes=bvh.num_nodes,
             ray_block=ray_block, interpret=interpret, any_hit=any_hit)
         tri_id = jnp.where(row >= 0, tri_orig[jnp.maximum(row, 0)], -1)

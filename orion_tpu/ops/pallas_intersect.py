@@ -92,14 +92,17 @@ def ray_rows(r_ref):
     return o, d
 
 
-def pack_ray_rows(orig, dirs, n_pad: int):
-    """[N,3]x2 -> [8, N_pad] component rows; padding lanes get dir=(1,1,1)
-    so they do harmless work."""
+def pack_ray_rows(orig, dirs, n_pad: int, alive=None):
+    """[N,3]x2 -> [8, N_pad] component rows (row 6 = alive flag); padding
+    lanes are dead and get dir=(1,1,1) so the math stays finite."""
     N = orig.shape[0]
     data = jnp.ones((8, n_pad), jnp.float32)
     data = data.at[0:3, :N].set(orig.T)
     data = data.at[3:6, :N].set(dirs.T)
     data = data.at[0:3, N:].set(0.0)
+    data = data.at[6, N:].set(0.0)
+    if alive is not None:
+        data = data.at[6, :N].set(alive.astype(jnp.float32))
     return data
 
 
@@ -112,7 +115,11 @@ def tri_cols(block):
 
 
 def _brute_kernel(r_ref, tri_ref, t_out, id_out):
-    """One grid step: RB rays (lanes) vs ALL triangle chunks (unrolled)."""
+    """One grid step: RB rays (lanes) vs ALL triangle chunks (unrolled).
+
+    Blocks whose lanes are all dead (row 6 of the ray block is the alive
+    flag) skip the whole sweep via lax.cond — bounce wavefronts retire
+    spatially-coherent regions, so later depths mostly hit this path."""
     T_pad = tri_ref.shape[0]
     tc = min(T_pad, TRI_CHUNK)
     n_chunks = T_pad // tc
@@ -121,23 +128,32 @@ def _brute_kernel(r_ref, tri_ref, t_out, id_out):
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (tc, 1), 0)
 
-    t_best = jnp.full(t_out.shape, _BIG, jnp.float32)   # [1,RB]
-    id_best = jnp.full(id_out.shape, -1, jnp.int32)
+    t_init = jnp.full(t_out.shape, _BIG, jnp.float32)   # [1,RB]
+    id_init = jnp.full(id_out.shape, -1, jnp.int32)
 
-    for c in range(n_chunks):  # static unroll: all slices static
-        v0, e1, e2 = tri_cols(tri_ref[c * tc:(c + 1) * tc, :])
-        t = mt_plane(o, d, v0, e1, e2)                   # [TC,RB]
+    def sweep(state):
+        t_best, id_best = state
+        for c in range(n_chunks):  # static unroll: all slices static
+            v0, e1, e2 = tri_cols(tri_ref[c * tc:(c + 1) * tc, :])
+            t = mt_plane(o, d, v0, e1, e2)               # [TC,RB]
 
-        t_min = jnp.min(t, axis=0, keepdims=True)        # [1,RB]
-        # argmin-by-value: smallest row achieving t_min
-        row = jnp.min(jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
-                      axis=0, keepdims=True)
-        idx = row + c * tc
+            t_min = jnp.min(t, axis=0, keepdims=True)    # [1,RB]
+            # argmin-by-value: smallest row achieving t_min
+            row = jnp.min(jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
+                          axis=0, keepdims=True)
+            idx = row + c * tc
 
-        better = t_min < t_best
-        id_best = jnp.where(better & (t_min < _BIG), idx, id_best)
-        t_best = jnp.where(better, t_min, t_best)
+            better = t_min < t_best
+            id_best = jnp.where(better & (t_min < _BIG), idx, id_best)
+            t_best = jnp.where(better, t_min, t_best)
+        return t_best, id_best
 
+    any_alive = jnp.any(r_ref[6:7, :] > 0.0)
+    t_best, id_best = jax.lax.cond(any_alive, sweep, lambda s: s,
+                                   (t_init, id_init))
+
+    alive = r_ref[6:7, :] > 0.0
+    id_best = jnp.where(alive, id_best, -1)
     t_out[:, :] = jnp.where(id_best >= 0, t_best, jnp.inf)
     id_out[:, :] = id_best
 
@@ -167,12 +183,12 @@ def auto_blocks(T: int):
 
 
 @partial(jax.jit, static_argnames=("ray_block", "interpret"))
-def _intersect_pallas_impl(tri_data, orig, dirs, ray_block: int,
-                           interpret: bool = False):
+def _intersect_pallas_impl(tri_data, orig, dirs, alive=None, *,
+                           ray_block: int, interpret: bool = False):
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    rays = pack_ray_rows(orig, dirs, N_pad)
+    rays = pack_ray_rows(orig, dirs, N_pad, alive)
 
     grid = (N_pad // ray_block,)
     ray_spec = pl.BlockSpec((8, ray_block), lambda i: (0, i),
@@ -195,7 +211,8 @@ def _intersect_pallas_impl(tri_data, orig, dirs, ray_block: int,
 
 def intersect_brute_pallas(scene: Scene, orig: jax.Array, dirs: jax.Array,
                            ray_block: int | None = None,
-                           interpret: bool | None = None) -> Hit:
+                           interpret: bool | None = None, *,
+                           alive=None) -> Hit:
     """Drop-in Pallas replacement for intersect_brute (same Hit contract).
 
     interpret=None auto-selects interpreter mode off-TPU (CPU tests).
@@ -219,6 +236,7 @@ def intersect_brute_pallas(scene: Scene, orig: jax.Array, dirs: jax.Array,
         tri_data,
         jax.lax.stop_gradient(orig),
         jax.lax.stop_gradient(dirs),
+        alive,
         ray_block=rb, interpret=interpret)
     # ids beyond the true (unpadded) triangle count are padding => miss
     valid = tri_id < scene.num_triangles

@@ -79,7 +79,7 @@ def _regen_loop(scene, camera: Camera, key: jax.Array, pix: jax.Array, *,
         (step, orig, dirs, throughput, depth, sample_idx, done, acc) = carry
         live = jnp.logical_not(done)
 
-        hit = intersect(scene, orig, dirs)
+        hit = intersect(scene, orig, dirs, alive=live)
         attrs = hit_attributes(scene, orig, dirs, hit)
         hit_mask = live & hit.mask
 

@@ -34,7 +34,10 @@ from orion_tpu.scene import Scene
 # bias to move rays off surfaces (raytracer.cpp:118)
 BIAS = 1e-3
 
-IntersectFn = Callable[[Scene, jax.Array, jax.Array], Hit]
+# IntersectFn protocol: (scene, orig [N,3], dirs [N,3], *, alive=None) ->
+# Hit. `alive` is an optional [N] bool; implementations may skip (and
+# report miss for) dead rays — callers only consume results where alive.
+IntersectFn = Callable[..., Hit]
 
 
 def default_intersect() -> IntersectFn:
@@ -97,7 +100,8 @@ def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
     target_all = jnp.concatenate(targets, axis=0)          # [E*S*N, 3]
     origin_all = jnp.tile(origin, (E * S, 1))
     shadow_dir_all = target_all - jnp.tile(attrs.point, (E * S, 1))
-    s_hit = intersect(scene, origin_all, shadow_dir_all)
+    s_hit = intersect(scene, origin_all, shadow_dir_all,
+                      alive=jnp.tile(hit_mask, E * S))
     s_attrs = hit_attributes(scene, origin_all, shadow_dir_all, s_hit)
 
     total = jnp.zeros((N, 3), jnp.float32)
@@ -137,7 +141,7 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
                  reference_frame: bool, normal_maps: bool = False):
     """One path-tracing wavefront step (raytracer.cpp:105-194, BRDF branch)."""
     orig, dirs, throughput, alive = carry
-    hit = intersect(scene, orig, dirs)
+    hit = intersect(scene, orig, dirs, alive=alive)
     attrs = hit_attributes(scene, orig, dirs, hit)
     if normal_maps:
         attrs = _apply_normal_maps(scene, attrs, hit)
@@ -186,7 +190,7 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
     shadow_intersect: occlusion-only backend for the stacked shadow rays
     (only hit.mask is consumed — any-hit kernels are valid here)."""
     orig, dirs, throughput, alive = carry
-    hit = intersect(scene, orig, dirs)
+    hit = intersect(scene, orig, dirs, alive=alive)
     attrs = hit_attributes(scene, orig, dirs, hit)
     if normal_maps:
         attrs = _apply_normal_maps(scene, attrs, hit)
@@ -205,7 +209,8 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
             [scene.light_pos[li][None, :] - attrs.point for li in range(L)],
             axis=0)
         s_fn = shadow_intersect if shadow_intersect is not None else intersect
-        s_hit = s_fn(scene, jnp.tile(shadow_origin, (L, 1)), to_light_all)
+        s_hit = s_fn(scene, jnp.tile(shadow_origin, (L, 1)), to_light_all,
+                     alive=jnp.tile(hit_mask, L))
         for li in range(L):
             lpos = scene.light_pos[li]
             # reference quirk kept: ANY intersection blocks, even geometry

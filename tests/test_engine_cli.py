@@ -106,6 +106,22 @@ def test_cli_regen(assets_dir, tmp_path):
     assert out.exists()
 
 
+def test_cli_shard(assets_dir, tmp_path):
+    """--shard renders over the 8 virtual test devices (whitted + regen)."""
+    from orion_tpu.cli import main
+
+    out = tmp_path / "shard.png"
+    rc = main([str(assets_dir / "view_test.rtc"), "-o", str(out),
+               "-p", "1", "--xres", "32", "--yres", "24", "--shard"])
+    assert rc == 0 and out.exists()
+
+    out2 = tmp_path / "shard_regen.png"
+    rc = main([str(assets_dir / "cornell-box.rtc"), "-o", str(out2),
+               "-p", "2", "--xres", "24", "--yres", "16", "--shard",
+               "--regen", "--depth", "4"])
+    assert rc == 0 and out2.exists()
+
+
 def test_cli_regen_rejects_whitted(assets_dir, tmp_path):
     from orion_tpu.cli import main
 

@@ -85,6 +85,42 @@ def test_pallas_bvh_any_hit_occlusion(assets_dir, scene_name):
     assert np.isfinite(t_all[m, ids[m]]).all()
 
 
+@pytest.mark.parametrize("scene_name", ["cornell-box", "nanosuit"])
+def test_pallas_alive_mask(assets_dir, scene_name):
+    """alive-masked intersects: live lanes match the oracle, dead lanes
+    report miss (both kernels + the jnp backends' protocol arg)."""
+    scene, orig, dirs = _scene_rays(assets_dir, scene_name)
+    N = orig.shape[0]
+    alive = (jnp.arange(N) % 3) != 0  # mixed live/dead pattern
+    h_ref = intersect_brute(scene, orig, dirs)
+
+    if scene_name == "cornell-box":
+        h = intersect_brute_pallas(scene, orig, dirs, alive=alive)
+    else:
+        bvh, _ = build_bvh(np.asarray(scene.tri_v0),
+                           np.asarray(scene.tri_e1),
+                           np.asarray(scene.tri_e2),
+                           np.asarray(scene.tri_valid), strategy=SAH,
+                           leaf_size=128, leaf_width=128)
+        h = make_bvh_intersect_pallas(bvh, scene)(scene, orig, dirs,
+                                                  alive=alive)
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(h.mask)[a],
+                                  np.asarray(h_ref.mask)[a])
+    np.testing.assert_allclose(np.asarray(h.t)[a & np.asarray(h_ref.mask)],
+                               np.asarray(h_ref.t)[a & np.asarray(h_ref.mask)],
+                               rtol=1e-4, atol=1e-5)
+    assert not np.asarray(h.mask)[~a].any()  # dead lanes miss
+
+    # fully-dead batch: every backend returns all-miss
+    h0 = (intersect_brute_pallas(scene, orig, dirs,
+                                 alive=jnp.zeros(N, bool))
+          if scene_name == "cornell-box" else
+          make_bvh_intersect_pallas(bvh, scene)(
+              scene, orig, dirs, alive=jnp.zeros(N, bool)))
+    assert not np.asarray(h0.mask).any()
+
+
 def test_pallas_brute_under_grad(assets_dir):
     """The Pallas backend must compose with jax.grad (ids are detached;
     hit_attributes recomputes differentiably)."""
