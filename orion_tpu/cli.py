@@ -94,10 +94,16 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.shard and args.checkpoint:
-        print("error: --shard does not compose with --checkpoint yet",
-              file=sys.stderr)
-        return 2
-    if args.shard:
+        from orion_tpu.io.checkpoint import render_accumulate
+        from orion_tpu.parallel.sharding import make_mesh
+
+        img = render_accumulate(ps, key, samples=args.samples,
+                                light_samples=args.light_samples,
+                                max_depth=max_depth, mode=args.mode,
+                                path=args.checkpoint,
+                                every=args.checkpoint_every,
+                                regen=args.regen, mesh=make_mesh())
+    elif args.shard:
         from orion_tpu.parallel.sharding import make_mesh
 
         mesh = make_mesh()

@@ -56,7 +56,7 @@ def load_checkpoint(path: str | Path):
 def render_accumulate(ps, key, *, samples: int, light_samples: int,
                       max_depth: int, mode: Optional[str],
                       path: str | Path, every: int = 64,
-                      regen: bool = False) -> np.ndarray:
+                      regen: bool = False, mesh=None) -> np.ndarray:
     """Render `samples` spp with checkpointed accumulation; returns the mean
     radiance image. Resumes from `path` when it exists and matches.
 
@@ -64,7 +64,12 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
     tracer (orion_tpu.regen) — much faster at high depth caps, but the
     image is then a function of (seed, samples, chunk size): regen draws
     chunk keys as fold_in(key, chunk_start), so resume with the same
-    `every` to keep determinism."""
+    `every` to keep determinism.
+
+    mesh: an optional jax.sharding.Mesh — chunks render via the shard_map
+    paths (rays sharded per chip, scene replicated). Shard keys fold per
+    chip, so images are then deterministic per (seed, device count, chunk
+    size)."""
     from orion_tpu.render import render
 
     if regen and (mode == "whitted"
@@ -87,7 +92,14 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
 
     while done < samples:
         n = min(every, samples - done)
-        if regen:
+        if regen and mesh is not None:
+            from orion_tpu.regen import render_regen_shardmap
+
+            img = render_regen_shardmap(
+                ps.scene, ps.camera, jax.random.fold_in(key, done),
+                mesh=mesh, samples=n, max_depth=max_depth,
+                light_samples=light_samples, intersect=ps.intersect)
+        elif regen:
             from orion_tpu.regen import render_regen
 
             img = render_regen(ps.scene, ps.camera,
@@ -95,6 +107,14 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
                                max_depth=max_depth,
                                light_samples=light_samples,
                                intersect=ps.intersect)
+        elif mesh is not None:
+            from orion_tpu.parallel.shardmap_render import render_shardmap
+
+            img = render_shardmap(
+                ps.scene, ps.camera, jax.random.fold_in(key, done),
+                mesh=mesh, samples=n, max_depth=max_depth,
+                light_samples=light_samples, mode=mode,
+                intersect=ps.intersect)
         else:
             # sample_offset keeps sample i's keys chunk-invariant (render
             # folds fold_in(key, done + i)), so resumes bit-match a

@@ -122,6 +122,28 @@ def test_cli_shard(assets_dir, tmp_path):
     assert rc == 0 and out2.exists()
 
 
+def test_cli_shard_checkpoint_resume(assets_dir, tmp_path):
+    """--shard --checkpoint: sharded chunked accumulation resumes to the
+    same image as an uninterrupted sharded run (fixed chunk size)."""
+    import jax
+
+    from orion_tpu.io.checkpoint import load_checkpoint, render_accumulate
+    from orion_tpu.parallel.sharding import make_mesh
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=24, yres=16)
+    mesh = make_mesh(jax.devices()[:8])
+    key = jax.random.key(11)
+    kw = dict(light_samples=1, max_depth=3, mode=None, mesh=mesh)
+
+    oneshot = render_accumulate(ps, key, samples=4, path=tmp_path / "m.ckpt",
+                                every=2, **kw)
+    p = tmp_path / "n.ckpt"
+    render_accumulate(ps, key, samples=2, path=p, every=2, **kw)
+    assert load_checkpoint(p)[1] == 2
+    resumed = render_accumulate(ps, key, samples=4, path=p, every=2, **kw)
+    np.testing.assert_allclose(resumed, oneshot, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_regen_rejects_whitted(assets_dir, tmp_path):
     from orion_tpu.cli import main
 
