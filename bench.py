@@ -149,9 +149,11 @@ def main():
                                   "nanosuit.rtc", 1024, 1024, 4, 2, 1,
                                   iters=2,
                                   backends=("bvh-pallas", "bvh-jnp")))
-        details.append(run_config("view_test_path_512_4spp",
+        # view_test has point lights => whitted is its real mode (forcing
+        # "path" renders black: no emissive meshes, empty estimator)
+        details.append(run_config("view_test_whitted_512_4spp",
                                   "view_test.rtc", 512, 512, 4, 4, 2,
-                                  backends=(None,)))
+                                  mode="whitted", backends=(None,)))
         # deep-depth flagship analogue: regen's structural win (spp x mean
         # path length instead of spp x depth cap)
         details.append(run_config("cornell_path_512_16spp_depth100",
