@@ -59,9 +59,11 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
 
     def loss(params, key, target):
         s = dataclasses.replace(scene, **params)
+        # prune_zero=False: zero-valued specular still carries gradient
+        # through its (pruned-in-forward-renders) reflection subpath
         img = render(s, camera, key, samples=samples, max_depth=max_depth,
                      light_samples=light_samples, mode=mode,
-                     intersect=intersect)
+                     intersect=intersect, prune_zero=False)
         if loss_fn is not None:
             return loss_fn(img, target)
         return jnp.mean((img - target) ** 2)

@@ -53,10 +53,11 @@ def _replicated(mesh: Mesh) -> NamedSharding:
 
 
 @partial(jax.jit, static_argnames=("samples", "max_depth", "light_samples",
-                                   "mode", "mesh"))
+                                   "mode", "mesh", "prune_zero"))
 def _render_sharded_impl(scene: Scene, camera: Camera, key: jax.Array, *,
                          samples: int, max_depth: int, light_samples: int,
-                         mode: Optional[str], mesh: Mesh) -> jax.Array:
+                         mode: Optional[str], mesh: Mesh,
+                         prune_zero: bool = True) -> jax.Array:
     H, W = camera.yres, camera.xres
     n_dev = mesh.devices.size
     px, py = 2.0 / W, 2.0 / H
@@ -84,7 +85,8 @@ def _render_sharded_impl(scene: Scene, camera: Camera, key: jax.Array, *,
         radiance = trace_wavefront(scene, orig, dirs, k_trace,
                                    max_depth=max_depth,
                                    light_samples=light_samples, mode=mode,
-                                   intersect=intersect_brute)
+                                   intersect=intersect_brute,
+                                   prune_zero=prune_zero)
         radiance = radiance[:N].reshape(H, W, 3)
         return acc + radiance, None
 
@@ -144,10 +146,12 @@ def make_train_step(scene: Scene, camera: Camera, *, samples: int = 1,
             img = _render_sharded_impl(s, camera, key, samples=samples,
                                        max_depth=max_depth,
                                        light_samples=light_samples,
-                                       mode=mode, mesh=mesh)
+                                       mode=mode, mesh=mesh,
+                                       prune_zero=False)
         else:
             img = render(s, camera, key, samples=samples, max_depth=max_depth,
-                         light_samples=light_samples, mode=mode)
+                         light_samples=light_samples, mode=mode,
+                         prune_zero=False)
         return jnp.mean((img - target) ** 2)
 
     @jax.jit

@@ -42,11 +42,12 @@ from orion_tpu.scene import Scene
 
 @partial(jax.jit,
          static_argnames=("samples", "max_depth", "light_samples", "mode",
-                          "mesh", "intersect"))
+                          "mesh", "intersect", "prune_zero"))
 def _render_shardmap_impl(scene: Scene, camera: Camera, key: jax.Array, *,
                           samples: int, max_depth: int, light_samples: int,
                           mode: Optional[str], mesh: Mesh,
-                          intersect: Optional[IntersectFn]) -> jax.Array:
+                          intersect: Optional[IntersectFn],
+                          prune_zero: bool = True) -> jax.Array:
     H, W = camera.yres, camera.xres
     n_dev = mesh.devices.size
     px, py = 2.0 / W, 2.0 / H
@@ -64,7 +65,7 @@ def _render_shardmap_impl(scene: Scene, camera: Camera, key: jax.Array, *,
         return trace_wavefront(scene_rep, orig, dirs, k,
                                max_depth=max_depth,
                                light_samples=light_samples, mode=mode,
-                               intersect=intersect)
+                               intersect=intersect, prune_zero=prune_zero)
 
     def sample_body(acc, s):
         k_jit, k_trace = jax.random.split(jax.random.fold_in(key, s))
@@ -110,7 +111,8 @@ def make_train_step_shardmap(scene: Scene, camera: Camera, mesh: Mesh, *,
         img = _render_shardmap_impl(s, camera, key, samples=samples,
                                     max_depth=max_depth,
                                     light_samples=light_samples, mode=mode,
-                                    mesh=mesh, intersect=intersect)
+                                    mesh=mesh, intersect=intersect,
+                                    prune_zero=False)
         return jnp.mean((img - target) ** 2)
 
     @jax.jit

@@ -184,11 +184,18 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
 
 def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
                     intersect: IntersectFn, normal_maps: bool = False,
-                    shadow_intersect: Optional[IntersectFn] = None):
+                    shadow_intersect: Optional[IntersectFn] = None,
+                    prune_zero: bool = True):
     """One Whitted wavefront step (raytracer.cpp:195-207).
 
     shadow_intersect: occlusion-only backend for the stacked shadow rays
-    (only hit.mask is consumed — any-hit kernels are valid here)."""
+    (only hit.mask is consumed — any-hit kernels are valid here).
+
+    prune_zero: retire rays whose reflected throughput is exactly zero
+    (value-identical; the alive-masked kernels then skip their blocks).
+    Training paths pass False: at refl == 0 the pruned subpath still
+    carries d(contribution)/d(refl) = throughput * L, which needs the
+    ray traced."""
     orig, dirs, throughput, alive = carry
     hit = intersect(scene, orig, dirs, alive=alive)
     attrs = hit_attributes(scene, orig, dirs, hit)
@@ -224,9 +231,15 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
             radiance += jnp.where(lit[:, None], c, 0.0)
     radiance = radiance * throughput
 
-    # perfect mirror continuation scaled by the specular map
+    # perfect mirror continuation scaled by the specular map; rays whose
+    # reflected throughput is exactly zero contribute nothing downstream —
+    # retire them so the alive-masked kernels skip their blocks
+    # (estimator-identical: the reference still recurses on them,
+    # raytracer.cpp:203-206, but multiplies the result by zero)
     refl = shade.specular_color(scene, attrs.mat_id, attrs.uv)
     continue_mask = hit_mask & (depth < max_depth)
+    if prune_zero:
+        continue_mask &= jnp.any(throughput * refl > 0.0, axis=-1)
     new_throughput = jnp.where(continue_mask[:, None], throughput * refl, 0.0)
     new_dir = shade.reflect(dirs, attrs.s_normal)
     new_orig = attrs.point + attrs.s_normal * BIAS
@@ -252,8 +265,8 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     reference_frame: bool = False,
                     normal_maps: bool = False,
                     sort_bounces: bool = False,
-                    shadow_intersect: Optional[IntersectFn] = None
-                    ) -> jax.Array:
+                    shadow_intersect: Optional[IntersectFn] = None,
+                    prune_zero: bool = True) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     mode: "path" | "whitted" | None (auto: whitted iff the scene has point
@@ -283,7 +296,7 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     elif mode == "whitted":
         def bounce(carry, depth):
             return _whitted_bounce(scene, carry, depth, max_depth, intersect,
-                                   normal_maps, shadow_intersect)
+                                   normal_maps, shadow_intersect, prune_zero)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -317,7 +330,7 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                                    "mode", "intersect", "reference_frame",
                                    "shared_jitter", "sample_offset",
                                    "normal_maps", "sort_bounces",
-                                   "shadow_intersect"))
+                                   "shadow_intersect", "prune_zero"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
@@ -327,7 +340,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
            sample_offset: int = 0,
            normal_maps: bool = False,
            sort_bounces: bool = False,
-           shadow_intersect: Optional[IntersectFn] = None) -> jax.Array:
+           shadow_intersect: Optional[IntersectFn] = None,
+           prune_zero: bool = True) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -359,7 +373,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
                                    reference_frame=reference_frame,
                                    normal_maps=normal_maps,
                                    sort_bounces=sort_bounces,
-                                   shadow_intersect=shadow_intersect)
+                                   shadow_intersect=shadow_intersect,
+                                   prune_zero=prune_zero)
         return acc + radiance.reshape(H, W, 3), None
 
     acc0 = jnp.zeros((H, W, 3), jnp.float32)

@@ -159,3 +159,36 @@ def test_sort_bounces_statistical_match(cornell_scene):
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.15 * max(a.mean(), 1e-6)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.8
+
+
+def test_prune_zero_value_identical_and_grad_preserving(view_test_scene):
+    """Whitted zero-throughput pruning: bit-identical image, and
+    prune_zero=False keeps d(image)/d(specular) nonzero at specular == 0."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.render import render
+
+    scene, rtc = view_test_scene
+    rtc.xres, rtc.yres = 24, 16
+    cam = camera_from_rtc(rtc)
+    # zero ALL specular so every reflection subpath is pruned
+    scene0 = dataclasses.replace(
+        scene, mat_specular=jnp.zeros_like(scene.mat_specular))
+    key = jax.random.key(0)
+    kw = dict(samples=1, max_depth=3, light_samples=1, mode="whitted")
+
+    a = np.asarray(render(scene0, cam, key, prune_zero=True, **kw))
+    b = np.asarray(render(scene0, cam, key, prune_zero=False, **kw))
+    np.testing.assert_array_equal(a, b)
+
+    def mean_img(spec, prune):
+        s = dataclasses.replace(scene, mat_specular=spec)
+        return jnp.mean(render(s, cam, key, prune_zero=prune, **kw))
+
+    g_keep = jax.grad(mean_img)(jnp.zeros_like(scene.mat_specular), False)
+    assert float(jnp.abs(g_keep).max()) > 0, \
+        "specular gradient lost at zero with prune_zero=False"
