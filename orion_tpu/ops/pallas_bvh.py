@@ -158,10 +158,8 @@ def pack_rays8(orig, dirs, n_pad: int, alive=None):
     data = data.at[:N, 0:3].set(orig)
     data = data.at[:N, 3:6].set(dirs)
     data = data.at[N:, 3:6].set(1.0)
-    if alive is None:
-        data = data.at[:N, 6].set(1.0)
-    else:
-        data = data.at[:N, 6].set(alive.astype(jnp.float32))
+    data = data.at[:N, 6].set(
+        1.0 if alive is None else alive.astype(jnp.float32))
     return data
 
 
@@ -257,13 +255,15 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
                               else _bvh_device_layout(bvh))
     tri_orig = bvh.tri_orig
     num_triangles = scene.num_triangles
+    leaf_width, num_nodes = bvh.leaf_width, bvh.num_nodes  # don't close
+    # over the whole BVH object just for two static ints
 
     def intersect(scene, orig, dirs, *, alive=None) -> Hit:
         t, row = _traverse_pallas_impl(
             node_scalars, tri_data,
             jax.lax.stop_gradient(orig), jax.lax.stop_gradient(dirs),
             alive,
-            leaf_width=bvh.leaf_width, num_nodes=bvh.num_nodes,
+            leaf_width=leaf_width, num_nodes=num_nodes,
             ray_block=ray_block, interpret=interpret, any_hit=any_hit)
         tri_id = jnp.where(row >= 0, tri_orig[jnp.maximum(row, 0)], -1)
         tri_id = jnp.where(tri_id < num_triangles, tri_id, -1)
