@@ -75,7 +75,7 @@ static std::string rest_of_line(const char* p) {
 }
 
 struct Parser {
-  ObjFile* obj;
+  ObjFile* obj = nullptr;
   Mesh current;
   std::string cur_group = "default";
   std::string cur_mat;  // empty = default material
@@ -182,7 +182,8 @@ void* orion_obj_load(const char* path, int64_t* out_num_meshes,
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
   auto* obj = new ObjFile();
-  Parser parser{obj};
+  Parser parser;
+  parser.obj = obj;
 
   std::vector<char> buf(1 << 20);
   std::string carry;
