@@ -1,39 +1,85 @@
-"""Headline benchmark: Cornell-box BRDF path trace throughput on one chip.
+"""Benchmark harness: all five BASELINE.md configs + training throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-driver; a fuller multi-config report is written to BENCH_DETAILS.json.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+driver (the headline: BASELINE config 2, Cornell 512x512 16spp path), then
+runs every other config — each in its OWN subprocess. Crash isolation
+matters on the tunneled TPU: a Mosaic kernel fault wedges the device
+client for the whole process, so one bad config must not erase the rest
+of the record (round-1 failure mode). The full report lands in
+BENCH_DETAILS.json with one entry per config.
 
-Headline config mirrors BASELINE.md config 2 (Cornell 512x512, 16 spp, max
-depth 8, light samples 2 — the reference's path-tracing mode,
-raytracer.cpp:131-194). The baseline anchor is the reference CPU's 0.83M
-primary rays/s derived from its published 1920x1080 @2048spp render in
-5126.4 s (README.md:40-46).
+Baseline anchors (reference CPU, /root/reference):
+  - 0.83M primary rays/s derived from the published 1920x1080 @2048spp
+    cornell render in 5126.4 s (README.md:40-46).
+  - the same 5126.4 s wall-clock for config 5 directly.
 
 Timing methodology: several back-to-back dispatches with ONE value fetch
 at the end — on the tunneled TPU, block_until_ready alone does not force
 execution, so naive per-call timing under-reports.
+
+Usage:
+  python bench.py                 # orchestrate (the driver entry point)
+  python bench.py --config NAME   # run one config in this process
 """
 
+import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-BASELINE_PRIMARY_RAYS_PER_S = 0.83e6  # reference CPU anchor (BASELINE.md)
+BASELINE_PRIMARY_RAYS_PER_S = 0.83e6   # reference CPU anchor (BASELINE.md)
+BASELINE_CORNELL_FHD_SECONDS = 5126.4  # README.md:40-46
 ASSETS = "/root/reference/assets"
+# the tunneled TPU client lingers past process exit; starting the next TPU
+# process too soon wedges the tunnel (observed 2026-08-17)
+TPU_PROCESS_GAP_S = 60
 
 
-def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters,
-                 regen=False):
-    import jax
+def _time_calls(go, iters):
+    """Mean seconds/call: warm up once, dispatch `iters`, fetch one value."""
     import jax.numpy as jnp
 
+    img = go()
+    assert bool(jnp.isfinite(img).all()), "non-finite radiance"
+    _ = float(jnp.sum(img))  # force warmup execution
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = go()
+    _ = float(jnp.sum(img))  # drain the in-order queue
+    return (time.perf_counter() - t0) / iters
+
+
+def _render_config(rtc, xres, yres, samples, depth, light_samples, mode,
+                   iters, backend=None, regen=False, inject_light=None):
+    """Prepare + render one scene config; returns the result dict."""
+    import jax
+
+    from orion_tpu.engine import prepare
     from orion_tpu.render import render
 
+    ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
+                 force_backend=backend)
+    if inject_light is not None:
+        # cornell-box.rtc ships its point light commented out
+        # (assets/cornell-box.rtc "# L 0 2.5 3 100 100 100 32"); the
+        # Whitted config re-enables it
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        pos, color, intensity = inject_light
+        scene = dataclasses.replace(
+            ps.scene,
+            light_pos=jnp.asarray([pos], jnp.float32),
+            light_color=jnp.asarray([color], jnp.float32),
+            light_intensity=jnp.asarray([intensity], jnp.float32),
+            num_lights=1)
+        ps = dataclasses.replace(ps, scene=scene)
     key = jax.random.key(0)
 
     if regen:
-        if mode not in (None, "path"):
-            raise ValueError("regen timing is path-mode only")
         from orion_tpu.regen import render_regen
 
         def go():
@@ -48,52 +94,66 @@ def _time_render(ps, xres, yres, samples, depth, light_samples, mode, iters,
                           mode=mode, intersect=ps.intersect,
                           shadow_intersect=ps.shadow_intersect)
 
-    img = go()
-    assert bool(jnp.isfinite(img).all()), "non-finite radiance"
-    _ = float(jnp.sum(img))  # force warmup execution
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        img = go()
-    _ = float(jnp.sum(img))  # drain the in-order queue
-    return (time.perf_counter() - t0) / iters
+    dt = _time_calls(go, iters)
+    return {"backend": ps.backend + ("+regen" if regen else ""),
+            "seconds": round(dt, 4),
+            "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
 
 
-def run_config(name, rtc, xres, yres, samples, depth, light_samples,
-               iters=3, mode=None, backends=(None,), try_regen=False):
-    """Render with each candidate backend (and optionally the regenerative
-    wavefront renderer — same estimator, tests/test_regen.py); keep the
-    fastest."""
-    from orion_tpu.engine import prepare
+def cfg_cornell_whitted_256_1spp():
+    """BASELINE config 1: cornell 256x256 Whitted, 1 spp, point light."""
+    r = _render_config("cornell-box.rtc", 256, 256, 1, 2, 1, "whitted",
+                       iters=10,
+                       inject_light=((0.0, 2.5, 3.0),
+                                     (100 / 255, 100 / 255, 100 / 255),
+                                     32.0))
+    r["note"] = ("rtc's commented-out light re-enabled "
+                 "(assets/cornell-box.rtc)")
+    return r
 
+
+def cfg_cornell_path_512_16spp():
+    """BASELINE config 2 (the headline): 512x512, 16 spp, depth 8 path."""
     best = None
-    regen_flags = (False, True) if try_regen else (False,)
-    for force in backends:
-        try:
-            ps = prepare(f"{ASSETS}/{rtc}", xres=xres, yres=yres,
-                         force_backend=force)
-        except Exception as e:
-            print(f"[bench] {name} prepare {force}: {e!r}", file=sys.stderr)
-            continue
-        for regen in regen_flags:
-            try:
-                dt = _time_render(ps, xres, yres, samples, depth,
-                                  light_samples, mode, iters, regen=regen)
-            except Exception as e:
-                print(f"[bench] {name} backend {force} regen={regen}: {e!r}",
-                      file=sys.stderr)
-                continue
-            if best is None or dt < best["seconds"]:
-                best = {"name": name,
-                        "backend": ps.backend + ("+regen" if regen else ""),
-                        "seconds": round(dt, 4),
-                        "primary_rays_per_s":
-                            round(xres * yres * samples / dt, 1)}
-    if best is None:
-        raise RuntimeError(f"all backends failed for {name}")
+    for regen in (True, False):
+        r = _render_config("cornell-box.rtc", 512, 512, 16, 8, 2, "path",
+                           iters=3, regen=regen)
+        if best is None or r["seconds"] < best["seconds"]:
+            best = r
     return best
 
 
-def run_train_config():
+def cfg_view_test_whitted_512_4spp():
+    """BASELINE config 3: view_test 512x512 textured. The scene has point
+    lights, so the reference's auto mode selection renders it Whitted
+    (raytracer.cpp:131); its 'path' mode would be black (no emissives)."""
+    return _render_config("view_test.rtc", 512, 512, 4, 4, 2, "whitted",
+                          iters=3)
+
+
+def cfg_nanosuit_whitted_1024_64spp():
+    """BASELINE config 4: nanosuit 1024x1024, 64 spp (as specified)."""
+    return _render_config("nanosuit.rtc", 1024, 1024, 64, 2, 1, "whitted",
+                          iters=1)
+
+
+def cfg_cornell_fhd_path_d100():
+    """BASELINE config 5: cornell 1920x1080, depth 100, light samples 2.
+    Measured at 32 spp via the regenerative wavefront (spp-linear; the
+    committed flagship render used the same path at full 2048 spp) and
+    projected to the reference's 2048 spp."""
+    spp = 32
+    r = _render_config("cornell-box.rtc", 1920, 1080, spp, 100, 2, "path",
+                       iters=1, regen=True)
+    projected = r["seconds"] * (2048 / spp)
+    r["measured_spp"] = spp
+    r["projected_2048spp_seconds"] = round(projected, 1)
+    r["vs_reference_5126s"] = round(BASELINE_CORNELL_FHD_SECONDS / projected,
+                                    2)
+    return r
+
+
+def cfg_cornell_fwdbwd_256_4spp():
     """Forward+backward rays/s — the BASELINE.md north-star metric."""
     import jax
     import jax.numpy as jnp
@@ -121,53 +181,92 @@ def run_train_config():
     _ = float(l) + float(jnp.sum(g["mat_diffuse"]))
     dt = (time.perf_counter() - t0) / iters
     primary = xres * yres * samples
-    return {"name": "cornell_fwdbwd_256_4spp", "backend": ps.backend,
-            "seconds": round(dt, 4),
+    return {"backend": ps.backend, "seconds": round(dt, 4),
             "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
 
 
+CONFIGS = {
+    # name: (runner, subprocess timeout seconds)
+    "cornell_path_512_16spp": (cfg_cornell_path_512_16spp, 900),
+    "cornell_whitted_256_1spp": (cfg_cornell_whitted_256_1spp, 600),
+    "view_test_whitted_512_4spp": (cfg_view_test_whitted_512_4spp, 600),
+    "nanosuit_whitted_1024_64spp": (cfg_nanosuit_whitted_1024_64spp, 1200),
+    "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
+    "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
+}
+
+HEADLINE = "cornell_path_512_16spp"
+_MARK = "BENCH_RESULT_JSON:"
+
+
+def run_one(name: str) -> int:
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        # sitecustomize pre-imports jax before env vars can take effect;
+        # config.update overrides the platform after the fact
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    fn, _ = CONFIGS[name]
+    result = fn()
+    result["name"] = name
+    print(_MARK + json.dumps(result), flush=True)
+    return 0
+
+
+def _run_subprocess(name: str):
+    """Run one config isolated; returns its result dict (error entry on
+    failure — a crashed config must not take down the record)."""
+    fn, timeout = CONFIGS[name]
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"name": name, "error": f"timeout after {timeout}s"}
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_MARK):
+            return json.loads(line[len(_MARK):])
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+    return {"name": name, "error": f"exit {proc.returncode}",
+            "tail": tail}
+
+
 def main():
-    headline = run_config("cornell_path_512_16spp", "cornell-box.rtc",
-                          512, 512, 16, 8, 2,
-                          backends=("brute-pallas", "brute-jnp"),
-                          try_regen=True)
+    # orchestrator: NO jax import here — the parent must never touch the
+    # TPU (subprocesses own the device serially, one at a time)
+    details = []
+
+    def flush():
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=1)
+
+    headline = _run_subprocess(HEADLINE)
+    details.append(headline)
+    flush()
     # emit the driver's line as soon as the headline lands — later configs
-    # must not be able to take it down (the tunnel can wedge mid-run)
-    rays_per_s = headline["primary_rays_per_s"]
+    # must not be able to take it down
+    rays_per_s = headline.get("primary_rays_per_s", 0.0)
     print(json.dumps({
         "metric": "cornell_path_512x512_16spp_primary_rays_per_s",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
     }), flush=True)
-    details = [headline]
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=1)
-    try:
-        details.append(run_train_config())
-        details.append(run_config("nanosuit_whitted_1024_4spp",
-                                  "nanosuit.rtc", 1024, 1024, 4, 2, 1,
-                                  iters=2,
-                                  backends=("bvh-pallas", "bvh-jnp")))
-        # view_test has point lights => whitted is its real mode (forcing
-        # "path" renders black: no emissive meshes, empty estimator)
-        details.append(run_config("view_test_whitted_512_4spp",
-                                  "view_test.rtc", 512, 512, 4, 4, 2,
-                                  mode="whitted", backends=(None,)))
-        # deep-depth flagship analogue: regen's structural win (spp x mean
-        # path length instead of spp x depth cap)
-        details.append(run_config("cornell_path_512_16spp_depth100",
-                                  "cornell-box.rtc", 512, 512, 16, 100, 2,
-                                  iters=2, backends=("brute-pallas",
-                                                     "brute-jnp"),
-                                  try_regen=True))
-    except Exception as e:  # secondary configs must not break the headline
-        details.append({"error": repr(e)})
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=1)
+    for name in CONFIGS:
+        if name == HEADLINE:
+            continue
+        if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+            time.sleep(TPU_PROCESS_GAP_S)  # let the tunnel client drain
+        details.append(_run_subprocess(name))
+        flush()
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS))
+    args = ap.parse_args()
+    sys.exit(run_one(args.config) if args.config else main())

@@ -99,6 +99,13 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
             fn = make_bvh_intersect_pallas(bvh, scene,
                                            ray_block=TPU_RAY_BLOCK)
             return fn, "bvh-pallas", bvh, stats
+        if force_impl == "pallas":
+            # an explicit pin must not silently downgrade; match the
+            # builder's own error instead of falling through to bvh-jnp
+            raise ValueError(
+                f"force_backend='bvh-pallas' but {bvh.num_bundled} bundled "
+                f"triangles exceed the VMEM residency cap "
+                f"({RESIDENT_MAX_BUNDLED})")
         # very large scenes: bundles exceed the VMEM residency cap
     from orion_tpu.ops.bvh_traverse import make_bvh_intersect
 

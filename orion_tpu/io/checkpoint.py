@@ -28,15 +28,20 @@ import numpy as np
 
 
 def save_checkpoint(path: str | Path, accum: np.ndarray, samples_done: int,
-                    seed_key: np.ndarray) -> None:
-    """Atomic save: write to a temp file in the same directory, then rename."""
+                    seed_key: np.ndarray, config: str = "") -> None:
+    """Atomic save: write to a temp file in the same directory, then rename.
+
+    `config` is an opaque render-configuration tag; resume refuses to mix
+    accumulations produced under different estimator settings (mode, depth,
+    light samples, regen) — see render_accumulate.
+    """
     path = Path(path)
     fd, tmp = tempfile.mkstemp(dir=path.parent or Path("."),
                                suffix=".ckpt.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, accum=accum, samples_done=np.int64(samples_done),
-                     key_data=seed_key)
+                     key_data=seed_key, config=np.str_(config))
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -45,12 +50,13 @@ def save_checkpoint(path: str | Path, accum: np.ndarray, samples_done: int,
 
 
 def load_checkpoint(path: str | Path):
-    """Returns (accum, samples_done, key_data) or None if absent."""
+    """Returns (accum, samples_done, key_data, config) or None if absent."""
     path = Path(path)
     if not path.exists():
         return None
     with np.load(path) as z:
-        return z["accum"], int(z["samples_done"]), z["key_data"]
+        config = str(z["config"]) if "config" in z else ""
+        return z["accum"], int(z["samples_done"]), z["key_data"], config
 
 
 def render_accumulate(ps, key, *, samples: int, light_samples: int,
@@ -83,10 +89,21 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
     accum = np.zeros((H, W, 3), np.float32)
     done = 0
 
+    # the estimator configuration this accumulation is valid under: resuming
+    # with a different mode/depth/light_samples/regen would silently average
+    # two different estimators into one image
+    resolved_mode = (mode if mode is not None
+                     else ("whitted" if ps.scene.num_lights > 0 else "path"))
+    config = (f"mode={resolved_mode};max_depth={max_depth};"
+              f"light_samples={light_samples};regen={bool(regen)}"
+              + (f";every={every}" if regen else ""))
+
     ck = load_checkpoint(path)
     if ck is not None:
-        c_accum, c_done, c_key = ck
-        if c_accum.shape == accum.shape and np.array_equal(c_key, key_data):
+        c_accum, c_done, c_key, c_config = ck
+        if (c_accum.shape == accum.shape
+                and np.array_equal(c_key, key_data)
+                and c_config == config):
             accum, done = np.asarray(c_accum, np.float32), c_done
         # else: incompatible checkpoint -> start over (and overwrite)
 
@@ -126,6 +143,6 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
                          shadow_intersect=ps.shadow_intersect)
         accum = accum + np.asarray(img, np.float32) * n
         done += n
-        save_checkpoint(path, accum, done, key_data)
+        save_checkpoint(path, accum, done, key_data, config)
 
     return accum / float(max(done, 1))

@@ -34,11 +34,12 @@ def save_png(path: str | Path, image: np.ndarray, normalize: bool = True) -> Non
     image = np.asarray(image, np.float32)
     scale = 1.0
     if normalize:
-        maxi = float(np.max(image)) if image.size else 1.0
-        maxi = max(maxi, 1.0)  # reference maxes with vec3f(1.0) start? No: starts at 0 —
-        # reference starts maxi at 0 and divides by max channel; an all-black image would
-        # divide by 0 there. We guard with 1.0 (deviation: avoids NaN on black images).
-        scale = 1.0 / maxi
+        # divide by the ACTUAL max channel, matching the reference — it
+        # brightens dark renders to full range (raytracer.cpp:264-271
+        # starts maxi at 0 and divides unconditionally). Sole deviation:
+        # an all-black image divides by 0 there; we guard it to identity.
+        maxi = float(np.max(image)) if image.size else 0.0
+        scale = 1.0 / maxi if maxi > 0.0 else 1.0
     rgba = np.zeros((*image.shape[:2], 4), np.uint8)
     rgba[:, :, :3] = (np.minimum(image[:, :, :3] * scale, 1.0) * 255.0).astype(np.uint8)
     rgba[:, :, 3] = 255

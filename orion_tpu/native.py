@@ -35,15 +35,28 @@ def _try_build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any C++ source (or the Makefile) is newer than the .so."""
+    if not _LIB_PATH.exists():
+        return True
+    so_mtime = _LIB_PATH.stat().st_mtime
+    return any(p.stat().st_mtime > so_mtime
+               for p in _NATIVE_DIR.glob("*")
+               if p.suffix in (".cpp", ".hpp", ".h") or p.name == "Makefile")
+
+
 def get_lib(build: bool = True) -> Optional[ctypes.CDLL]:
-    """Load (building on first use if needed) the native library, or None."""
+    """Load (re-building when sources are newer than the .so) the native
+    library, or None."""
     global _lib, _load_attempted
     if _lib is not None:
         return _lib
     if _load_attempted:
         return None
     _load_attempted = True
-    if not _LIB_PATH.exists() and build and not _try_build():
+    if build and _NATIVE_DIR.exists() and _stale() and not _try_build():
+        return None
+    if not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

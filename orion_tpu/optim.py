@@ -31,6 +31,12 @@ UNIT_INTERVAL_PARAMS = ("mat_diffuse", "mat_specular", "mat_ambient")
 
 DEFAULT_PARAMS = ("mat_diffuse",)
 
+# parameters that move geometry: intersecting them against a prebuilt BVH
+# is silently wrong (the BVH backends close over a tree built from the
+# ORIGINAL vertices — ops/bvh_traverse.py / ops/pallas_bvh.py ignore the
+# scene argument — so hit ids never refresh as vertices move)
+GEOMETRY_PARAMS = ("tri_v0", "tri_e1", "tri_e2")
+
 
 @dataclasses.dataclass
 class FitResult:
@@ -85,6 +91,14 @@ def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
     gradient over the path space); False holds the key fixed (deterministic
     objective — useful for convergence tests).
     """
+    geom = [p for p in params if p in GEOMETRY_PARAMS]
+    if geom and str(getattr(ps, "backend", "")).startswith("bvh"):
+        raise ValueError(
+            f"geometry parameters {geom} cannot be optimized against the "
+            f"prebuilt {ps.backend!r} backend (its closure intersects the "
+            f"ORIGINAL geometry; gradients would target stale hit ids). "
+            f"prepare(..., force_backend='brute') — the brute backends "
+            f"read scene.tri_* live — or rebuild the BVH per step.")
     target = jnp.asarray(target, jnp.float32)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     theta = {name: getattr(ps.scene, name) for name in params}

@@ -72,57 +72,56 @@ def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
          intersect: IntersectFn):
     """Next-event estimation against every emissive mesh.
 
-    Matches the reference loop (raytracer.cpp:133-159): for each emissive
-    mesh, `light_samples` area samples; a sample contributes iff the shadow
-    ray's *nearest* hit lands on the emitter mesh; emitted color/normal are
-    evaluated at the shadow-ray hit point.
+    Matches the reference estimator (raytracer.cpp:133-159): for each
+    emissive mesh, `light_samples` area samples; a sample contributes iff
+    the shadow ray's *nearest* hit lands on the emitter mesh; emitted
+    color/normal are evaluated at the shadow-ray hit point.
 
-    All E x S shadow batches are stacked into ONE intersect call (identical
-    math and RNG draws — one kernel invocation instead of E*S).
+    Fully batched over E emitters x S samples: one RNG draw, one vmapped
+    area sampling, ONE stacked intersect, one vectorized contribution sum —
+    compile cost is O(1) in E and S (the reference's data loop over
+    emitters, not an unrolled Python loop; a dozen emitters trace the same
+    program as one).
     """
     N = attrs.point.shape[0]
     E = scene.num_emissive
     S = light_samples
+    ES = E * S
     origin = attrs.point + BIAS * attrs.g_normal
 
-    targets = []
-    weights = []
-    for e in range(E):
-        mesh_id = scene.emissive_mesh_ids[e]
-        for s in range(S):
-            k = jax.random.fold_in(jax.random.fold_in(key, e), s)
-            u = jax.random.uniform(k, (3, N))
-            target, weight, _ = shade.sample_mesh_point(scene, mesh_id,
-                                                        u[0], u[1], u[2])
-            targets.append(target)
-            weights.append(weight)
+    # [E] emitter mesh ids (static slice drops the -1 padding rows), each
+    # sampled S times -> [E*S]
+    mesh_ids = scene.emissive_mesh_ids[:E].astype(jnp.int32)
+    mesh_id_rep = jnp.repeat(mesh_ids, S)
 
-    target_all = jnp.concatenate(targets, axis=0)          # [E*S*N, 3]
-    origin_all = jnp.tile(origin, (E * S, 1))
-    shadow_dir_all = target_all - jnp.tile(attrs.point, (E * S, 1))
+    u = jax.random.uniform(key, (ES, 3, N))
+    target, weight, _ = jax.vmap(
+        lambda mid, uu: shade.sample_mesh_point(scene, mid,
+                                                uu[0], uu[1], uu[2])
+    )(mesh_id_rep, u)                       # [ES, N, 3], [ES, N]
+
+    target_all = target.reshape(ES * N, 3)
+    weight_all = weight.reshape(ES * N)
+    origin_all = jnp.tile(origin, (ES, 1))
+    point_all = jnp.tile(attrs.point, (ES, 1))
+    shadow_dir_all = target_all - point_all
     s_hit = intersect(scene, origin_all, shadow_dir_all,
-                      alive=jnp.tile(hit_mask, E * S))
+                      alive=jnp.tile(hit_mask, ES))
     s_attrs = hit_attributes(scene, origin_all, shadow_dir_all, s_hit)
 
-    total = jnp.zeros((N, 3), jnp.float32)
-    i = 0
-    for e in range(E):
-        mesh_id = scene.emissive_mesh_ids[e]
-        contrib = jnp.zeros((N, 3), jnp.float32)
-        for s in range(S):
-            sl = slice(i * N, (i + 1) * N)
-            i += 1
-            visible = (s_hit.mask[sl]
-                       & (s_attrs.mesh_id[sl] == mesh_id) & hit_mask)
-            ke = shade.emissive_color(scene, s_attrs.mat_id[sl],
-                                      s_attrs.uv[sl])
-            c = shade.color_brdf(scene, attrs.mat_id, attrs.uv,
-                                 attrs.s_normal, attrs.point,
-                                 targets[i - 1], ke, weights[i - 1],
-                                 s_attrs.s_normal[sl])
-            contrib = contrib + jnp.where(visible[:, None], c, 0.0)
-        total = total + contrib / float(S)
-    return total
+    # a sample is visible iff its nearest hit is on ITS emitter mesh
+    visible = (s_hit.mask
+               & (s_attrs.mesh_id == jnp.repeat(mesh_id_rep, N))
+               & jnp.tile(hit_mask, ES))
+    ke = shade.emissive_color(scene, s_attrs.mat_id, s_attrs.uv)
+    c = shade.color_brdf(scene,
+                         jnp.tile(attrs.mat_id, ES),
+                         jnp.tile(attrs.uv, (ES, 1)),
+                         jnp.tile(attrs.s_normal, (ES, 1)),
+                         point_all, target_all, ke, weight_all,
+                         s_attrs.s_normal)
+    c = jnp.where(visible[:, None], c, 0.0)
+    return jnp.sum(c.reshape(ES, N, 3), axis=0) / float(S)
 
 
 def _apply_normal_maps(scene: Scene, attrs, hit):
@@ -211,24 +210,28 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
     L = scene.num_lights
     N = attrs.point.shape[0]
     if L > 0:
-        # one stacked intersect for all lights' shadow rays
-        to_light_all = jnp.concatenate(
-            [scene.light_pos[li][None, :] - attrs.point for li in range(L)],
-            axis=0)
+        # fully batched over lights: one stacked intersect + one vectorized
+        # Phong evaluation — compile cost O(1) in L (the reference's data
+        # loop over rtc lights, raytracer.cpp:196-201)
+        lpos_all = jnp.repeat(scene.light_pos[:L], N, axis=0)    # [L*N, 3]
+        point_all = jnp.tile(attrs.point, (L, 1))
+        to_light_all = lpos_all - point_all
         s_fn = shadow_intersect if shadow_intersect is not None else intersect
         s_hit = s_fn(scene, jnp.tile(shadow_origin, (L, 1)), to_light_all,
                      alive=jnp.tile(hit_mask, L))
-        for li in range(L):
-            lpos = scene.light_pos[li]
-            # reference quirk kept: ANY intersection blocks, even geometry
-            # beyond the light (raytracer.cpp:196-201); see PARITY.md
-            lit = hit_mask & ~s_hit.mask[li * N:(li + 1) * N]
-            c = shade.phong_color(scene, attrs.mat_id, attrs.uv, dirs,
-                                  attrs.s_normal, attrs.point,
-                                  jnp.broadcast_to(lpos, attrs.point.shape),
-                                  scene.light_color[li][None, :],
-                                  scene.light_intensity[li])
-            radiance += jnp.where(lit[:, None], c, 0.0)
+        # reference quirk kept: ANY intersection blocks, even geometry
+        # beyond the light (raytracer.cpp:196-201); see PARITY.md
+        lit = jnp.tile(hit_mask, L) & ~s_hit.mask
+        c = shade.phong_color(scene,
+                              jnp.tile(attrs.mat_id, L),
+                              jnp.tile(attrs.uv, (L, 1)),
+                              jnp.tile(dirs, (L, 1)),
+                              jnp.tile(attrs.s_normal, (L, 1)),
+                              point_all, lpos_all,
+                              jnp.repeat(scene.light_color[:L], N, axis=0),
+                              jnp.repeat(scene.light_intensity[:L], N))
+        c = jnp.where(lit[:, None], c, 0.0)
+        radiance += jnp.sum(c.reshape(L, N, 3), axis=0)
     radiance = radiance * throughput
 
     # perfect mirror continuation scaled by the specular map; rays whose

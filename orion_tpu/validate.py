@@ -10,6 +10,8 @@ device work starts.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 
@@ -53,10 +55,12 @@ def validate_scene(scene) -> None:
         a = np.asarray(getattr(scene, name))
         if not np.isfinite(a).all():
             problems.append(f"non-finite values in {name}")
-    if scene.num_lights == 0 and scene.num_emissive == 0:
-        # renderable, but everything would be black — warn loudly
-        problems.append("no point lights and no emissive materials: "
-                        "every pixel will be black (path mode needs an "
-                        "emitter; whitted mode needs rtc L lines)")
     if problems:
         raise SceneValidationError("; ".join(problems))
+    if scene.num_lights == 0 and scene.num_emissive == 0:
+        # the reference renders this scene (black, raytracer.cpp:131-194
+        # with an empty emitter list) — warn loudly, don't refuse
+        warnings.warn("no point lights and no emissive materials: every "
+                      "pixel will render black (path mode needs an emitter; "
+                      "whitted mode needs rtc L lines)",
+                      stacklevel=2)

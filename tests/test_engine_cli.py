@@ -95,6 +95,92 @@ def test_checkpoint_ignores_mismatched_seed(assets_dir, tmp_path):
     np.testing.assert_allclose(img2, fresh, rtol=1e-6)
 
 
+def test_checkpoint_rejects_mismatched_config(assets_dir, tmp_path):
+    """Resuming under different estimator settings (max_depth here) must
+    restart — mixing two estimators into one accumulation is silent
+    corruption (ADVICE round 1)."""
+    import jax
+
+    from orion_tpu.io.checkpoint import render_accumulate
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=16, yres=12)
+    p = tmp_path / "cfg.ckpt"
+    key = jax.random.key(5)
+    render_accumulate(ps, key, samples=2, path=p, every=2,
+                      light_samples=1, max_depth=1, mode="path")
+    # same seed, different depth: must NOT resume the depth-1 accumulation
+    img = render_accumulate(ps, key, samples=2, path=p, every=2,
+                            light_samples=1, max_depth=3, mode="path")
+    fresh = render_accumulate(ps, key, samples=2, path=tmp_path / "f.ckpt",
+                              every=2, light_samples=1, max_depth=3,
+                              mode="path")
+    np.testing.assert_allclose(img, fresh, rtol=1e-6)
+
+
+def test_optim_rejects_geometry_params_on_bvh_backend(assets_dir):
+    """Geometry optimization against a prebuilt BVH closure silently
+    intersects stale geometry — fit() must refuse (ADVICE round 1)."""
+    import pytest as _pytest
+
+    from orion_tpu.optim import fit
+
+    ps = prepare(assets_dir / "cornell-box.rtc", xres=8, yres=8,
+                 force_backend="bvh")
+    with _pytest.raises(ValueError, match="tri_v0"):
+        fit(ps, np.zeros((8, 8, 3), np.float32), params=("tri_v0",),
+            steps=1)
+
+
+def test_forced_pallas_over_cap_raises(assets_dir):
+    """An explicit bvh-pallas pin must raise (not silently downgrade) when
+    the scene exceeds the VMEM residency cap (ADVICE round 1)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from orion_tpu import engine
+    from orion_tpu.engine import select_intersect
+    from orion_tpu.scene import load_scene
+
+    scene, _ = load_scene(assets_dir / "cornell-box.rtc")
+    old = engine.__dict__.get("jax")
+    # off-TPU the cap is not enforced by select_intersect (interpret mode);
+    # simulate the TPU branch by monkeypatching default_backend
+    class _FakeJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+    engine.jax = _FakeJax()
+    try:
+        import orion_tpu.ops.pallas_bvh as pb
+        cap = pb.RESIDENT_MAX_BUNDLED
+        pb.RESIDENT_MAX_BUNDLED = 8  # force "over cap" for the 36-tri box
+        with _pytest.raises(ValueError, match="residency cap"):
+            select_intersect(scene, force="bvh-pallas")
+        pb.RESIDENT_MAX_BUNDLED = cap
+    finally:
+        engine.jax = old
+
+
+def test_black_scene_warns_not_raises(tmp_path):
+    """A scene with no lights and no emissives renders (black) in the
+    reference — validate must warn, not refuse (ADVICE round 1)."""
+    import warnings
+
+    from orion_tpu.scene import load_scene
+    from orion_tpu.validate import validate_scene
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    rtc = tmp_path / "tri.rtc"
+    rtc.write_text(f"{obj.name}\n-\n1\n8 8\n0 0 2\n0 0 0\n0 1 0\n1\n")
+    scene, _ = load_scene(rtc)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        validate_scene(scene)  # must not raise
+    assert any("black" in str(x.message) for x in w)
+
+
 def test_cli_regen(assets_dir, tmp_path):
     from orion_tpu.cli import main
 
