@@ -185,6 +185,76 @@ def cfg_cornell_fwdbwd_256_4spp():
             "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
 
 
+def cfg_synthetic_200k_whitted_512():
+    """Large-scene config: 200k-triangle synthetic soup through the
+    treelet Pallas path (the reference tops out at 19k; scenes past the
+    VMEM residency cap used to silently fall back to bvh-jnp)."""
+    import jax
+
+    from orion_tpu.camera import make_camera
+    from orion_tpu.engine import select_intersect
+    from orion_tpu.render import render
+    from orion_tpu.scene import make_synthetic_scene
+
+    scene = make_synthetic_scene(200_000, seed=1)
+    cam = make_camera((0.0, 6.0, 28.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                      1.0, 512, 512)
+    fn, backend, _, _ = select_intersect(scene)
+    shadow = getattr(fn, "any_hit_variant", None)
+    key = jax.random.key(0)
+
+    def go():
+        return render(scene, cam, key, samples=4, max_depth=1,
+                      light_samples=1, mode="whitted", intersect=fn,
+                      shadow_intersect=shadow)
+
+    dt = _time_calls(go, iters=2)
+    return {"backend": backend,
+            "treelets": getattr(fn, "num_treelets", 1),
+            "triangles": 200_000,
+            "seconds": round(dt, 4),
+            "primary_rays_per_s": round(512 * 512 * 4 / dt, 1)}
+
+
+def cfg_scaling_weak_1chip():
+    """Weak-scaling on the real chip: K x the base ray batch, K = 1..8.
+
+    Ray data-parallelism has ZERO forward collectives (each chip owns a
+    pixel tile, scene replicated — parallel/shardmap_render.py), so
+    multi-host scaling efficiency ==
+    (per-chip throughput at fixed tile) x (collective overhead ~ 0) —
+    this measures the per-chip term: does throughput hold as the resident
+    batch grows? scaling_report(k*T1, Tk, k) == throughput_k/throughput_1.
+    The virtual-device structure check lives in dryrun_multichip.
+    """
+    import jax
+
+    from orion_tpu.engine import prepare
+    from orion_tpu.parallel.distributed import scaling_report
+    from orion_tpu.render import render
+
+    key = jax.random.key(0)
+    rows = []
+    t1 = None
+    for k, res in [(1, 256), (2, 362), (4, 512), (8, 724)]:
+        ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=res, yres=res)
+
+        def go():
+            return render(ps.scene, ps.camera, key, samples=4, max_depth=8,
+                          light_samples=2, mode="path",
+                          intersect=ps.intersect)
+
+        dt = _time_calls(go, iters=3)
+        if t1 is None:
+            t1 = dt
+        rep = scaling_report(k * t1, dt, k)
+        rep["rays"] = res * res * 4
+        rep["seconds"] = round(dt, 4)
+        rows.append(rep)
+    return {"backend": "brute-pallas", "weak_scaling": rows,
+            "efficiency_8x": rows[-1]["efficiency"]}
+
+
 CONFIGS = {
     # name: (runner, subprocess timeout seconds)
     "cornell_path_512_16spp": (cfg_cornell_path_512_16spp, 900),
@@ -193,6 +263,8 @@ CONFIGS = {
     "nanosuit_whitted_1024_64spp": (cfg_nanosuit_whitted_1024_64spp, 1200),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
+    "scaling_weak_1chip": (cfg_scaling_weak_1chip, 900),
+    "synthetic_200k_whitted_512": (cfg_synthetic_200k_whitted_512, 1200),
 }
 
 HEADLINE = "cornell_path_512_16spp"

@@ -259,6 +259,43 @@ def _flatten(root: _Node, leaf_width: int,
             np.asarray(node_count, np.int32), order)
 
 
+def partition_triangles(tri_v0: np.ndarray, tri_e1: np.ndarray,
+                        tri_e2: np.ndarray, valid: Optional[np.ndarray],
+                        max_tris: int) -> List[np.ndarray]:
+    """Spatial slab partition: valid triangles sorted by centroid along the
+    longest axis, chunked into parts of <= max_tris.
+
+    The treelet decomposition for scenes whose leaf bundles exceed the
+    Pallas kernel's VMEM residency cap: each part gets its own BVH (global
+    triangle ids preserved via the `valid` mask), the kernel walks parts
+    sequentially, and spatial contiguity keeps per-part root AABBs tight —
+    a ray block that misses a part's root exits that call in one step.
+
+    Returns a list of boolean masks over the full triangle array.
+    """
+    tri_v0 = np.asarray(tri_v0, np.float32)
+    T = tri_v0.shape[0]
+    if valid is None:
+        valid = np.ones(T, bool)
+    ids = np.nonzero(np.asarray(valid))[0]
+    v1 = tri_v0[ids] + np.asarray(tri_e1, np.float32)[ids]
+    v2 = tri_v0[ids] + np.asarray(tri_e2, np.float32)[ids]
+    lo = np.minimum(np.minimum(tri_v0[ids], v1), v2)
+    hi = np.maximum(np.maximum(tri_v0[ids], v1), v2)
+    cen = 0.5 * (lo + hi)
+    axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
+    order = ids[np.argsort(cen[:, axis], kind="stable")]
+    n_parts = -(-len(order) // max_tris)
+    per = -(-len(order) // n_parts)
+    masks = []
+    for p in range(n_parts):
+        m = np.zeros(T, bool)
+        m[order[p * per:(p + 1) * per]] = True
+        if m.any():
+            masks.append(m)
+    return masks
+
+
 def build_bvh(tri_v0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
               valid: Optional[np.ndarray] = None, *,
               strategy: str = MEDIAN, leaf_size: int = DEFAULT_LEAF,

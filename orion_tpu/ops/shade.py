@@ -48,7 +48,8 @@ def sample_texture(scene: Scene, map_idx: jax.Array, uv: jax.Array,
     w = hw[:, 1]
     ui = jnp.mod(jnp.floor(uv[:, 0] * w.astype(uv.dtype)).astype(jnp.int32), w)
     vi = jnp.mod(jnp.floor(uv[:, 1] * h.astype(uv.dtype)).astype(jnp.int32), h)
-    texel = scene.tex_stack[img, vi, ui]  # [N, 3]
+    off = scene.tex_off[img]  # [N, 2] (y0, x0) into the shelf-packed atlas
+    texel = scene.tex_atlas[off[:, 0] + vi, off[:, 1] + ui]  # [N, 3]
     return jnp.where((map_idx >= 0)[:, None], texel, solid)
 
 

@@ -60,8 +60,17 @@ def _project(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
 def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
               light_samples: int, mode: Optional[str],
               intersect: Optional[IntersectFn],
-              loss_fn: Optional[Callable] = None):
-    """loss(params, key, target) closure over a base scene."""
+              loss_fn: Optional[Callable] = None,
+              remat: bool = False):
+    """loss(params, key, target) closure over a base scene.
+
+    Geometry params (tri_*) require a brute backend — the BVH closures
+    intersect the geometry they were built from (see fit()'s guard).
+
+    remat=True checkpoints each bounce in the backward pass (recompute
+    instead of storing per-bounce residuals) — wins when the residual
+    traffic, not compute, bounds the backward (large N x depth).
+    """
 
     def loss(params, key, target):
         s = dataclasses.replace(scene, **params)
@@ -69,7 +78,7 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
         # through its (pruned-in-forward-renders) reflection subpath
         img = render(s, camera, key, samples=samples, max_depth=max_depth,
                      light_samples=light_samples, mode=mode,
-                     intersect=intersect, prune_zero=False)
+                     intersect=intersect, prune_zero=False, remat=remat)
         if loss_fn is not None:
             return loss_fn(img, target)
         return jnp.mean((img - target) ** 2)

@@ -269,12 +269,18 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                     normal_maps: bool = False,
                     sort_bounces: bool = False,
                     shadow_intersect: Optional[IntersectFn] = None,
-                    prune_zero: bool = True) -> jax.Array:
+                    prune_zero: bool = True,
+                    remat: bool = False) -> jax.Array:
     """Trace a batch of rays to completion; returns radiance [N, 3].
 
     mode: "path" | "whitted" | None (auto: whitted iff the scene has point
     lights, matching raytracer.cpp:131). normal_maps enables tangent-space
     bump mapping (off by default — PARITY.md).
+
+    remat: wrap each bounce in jax.checkpoint — the backward pass then
+    recomputes a bounce's intermediates from its (small) carry instead of
+    storing ~dozens of [N,3] residuals per (sample, depth) step in HBM.
+    Forward-only renders ignore it; training at scale wants it on.
 
     sort_bounces: after each bounce, reorder the wavefront by
     (dead-last, direction octant) so the Pallas packet kernels see
@@ -302,6 +308,9 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                                    normal_maps, shadow_intersect, prune_zero)
     else:
         raise ValueError(f"unknown mode {mode!r}")
+
+    if remat:
+        bounce = jax.checkpoint(bounce)
 
     depths = jnp.arange(max_depth + 1)
 
@@ -333,7 +342,8 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                                    "mode", "intersect", "reference_frame",
                                    "shared_jitter", "sample_offset",
                                    "normal_maps", "sort_bounces",
-                                   "shadow_intersect", "prune_zero"))
+                                   "shadow_intersect", "prune_zero",
+                                   "remat"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
@@ -344,7 +354,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
            normal_maps: bool = False,
            sort_bounces: bool = False,
            shadow_intersect: Optional[IntersectFn] = None,
-           prune_zero: bool = True) -> jax.Array:
+           prune_zero: bool = True,
+           remat: bool = False) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -377,7 +388,7 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
                                    normal_maps=normal_maps,
                                    sort_bounces=sort_bounces,
                                    shadow_intersect=shadow_intersect,
-                                   prune_zero=prune_zero)
+                                   prune_zero=prune_zero, remat=remat)
         return acc + radiance.reshape(H, W, 3), None
 
     acc0 = jnp.zeros((H, W, 3), jnp.float32)

@@ -77,7 +77,8 @@ class Scene:
     mat_map_diffuse: jax.Array   # [M] int32
     mat_map_specular: jax.Array  # [M] int32
     mat_map_bump: jax.Array      # [M] int32 (tangent-space normal map)
-    tex_stack: jax.Array  # [I, Hmax, Wmax, 3] float32
+    tex_atlas: jax.Array  # [AH, AW, 3] float32, shelf-packed texture atlas
+    tex_off: jax.Array    # [I, 2] int32 (y0, x0) into the atlas
     tex_hw: jax.Array     # [I, 2] int32 (h, w)
     # emissive meshes (for NEE); padded with id -1
     emissive_mesh_ids: jax.Array  # [E] int32
@@ -95,6 +96,44 @@ class Scene:
     @property
     def padded_triangles(self) -> int:
         return self.tri_v0.shape[0]
+
+
+def pack_texture_atlas(tex_images):
+    """Shelf-pack decoded textures into ONE [AH, AW, 3] atlas.
+
+    Replaces the round-1 [I, Hmax, Wmax, 3] padded stack, whose HBM cost
+    multiplied every slot by the LARGEST texture's extent (one 2048^2 map
+    among thumbnails made every thumbnail cost 2048^2). Shelf packing:
+    images sorted by height descend into rows of a fixed-width atlas —
+    simple, deterministic, and within ~20% of optimal for the texture-set
+    shapes games/scenes actually ship.
+
+    Returns (atlas [AH, AW, 3] f32, off [I, 2] (y0, x0) i32, hw [I, 2] i32).
+    """
+    if not tex_images:
+        return (np.zeros((1, 1, 3), np.float32),
+                np.zeros((1, 2), np.int32), np.ones((1, 2), np.int32))
+    AW = max(t.shape[1] for t in tex_images)
+    order = sorted(range(len(tex_images)),
+                   key=lambda i: -tex_images[i].shape[0])
+    I = len(tex_images)
+    off = np.zeros((I, 2), np.int32)
+    hw = np.zeros((I, 2), np.int32)
+    y = x = shelf_h = 0
+    for i in order:
+        h, w = tex_images[i].shape[:2]
+        if x + w > AW:
+            y += shelf_h
+            x = shelf_h = 0
+        off[i] = (y, x)
+        hw[i] = (h, w)
+        x += w
+        shelf_h = max(shelf_h, h)
+    atlas = np.zeros((y + shelf_h, AW, 3), np.float32)
+    for i, t in enumerate(tex_images):
+        y0, x0 = off[i]
+        atlas[y0:y0 + t.shape[0], x0:x0 + t.shape[1]] = t
+    return atlas, off, hw
 
 
 def _corner_vertices(mesh_positions: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -188,18 +227,7 @@ def build_scene(
     tri_valid = np.zeros(T_pad, bool)
     tri_valid[:T] = True
 
-    # texture stack (>= 1 slot so shapes stay static)
-    if tex_images:
-        hmax = max(t.shape[0] for t in tex_images)
-        wmax = max(t.shape[1] for t in tex_images)
-        stack = np.zeros((len(tex_images), hmax, wmax, 3), np.float32)
-        hw = np.zeros((len(tex_images), 2), np.int32)
-        for i, t in enumerate(tex_images):
-            stack[i, : t.shape[0], : t.shape[1]] = t
-            hw[i] = (t.shape[0], t.shape[1])
-    else:
-        stack = np.zeros((1, 1, 1, 3), np.float32)
-        hw = np.ones((1, 2), np.int32)
+    atlas, off, hw = pack_texture_atlas(tex_images)
 
     num_emissive = len(emissive_ids)
     em_ids = np.full(max(num_emissive, 1), -1, np.int32)
@@ -234,12 +262,79 @@ def build_scene(
         mat_map_diffuse=jarr(np.array(mat_rows["map_diffuse"], np.int32)),
         mat_map_specular=jarr(np.array(mat_rows["map_specular"], np.int32)),
         mat_map_bump=jarr(np.array(mat_rows["map_bump"], np.int32)),
-        tex_stack=jarr(stack), tex_hw=jarr(hw),
+        tex_atlas=jarr(atlas), tex_off=jarr(off), tex_hw=jarr(hw),
         emissive_mesh_ids=jarr(em_ids),
         light_pos=jarr(light_pos), light_color=jarr(light_color),
         light_intensity=jarr(light_intensity),
         num_triangles=T, num_meshes=len(meshes),
         num_emissive=num_emissive, num_lights=num_lights,
+    )
+
+
+def make_synthetic_scene(num_triangles: int, seed: int = 0,
+                         extent: float = 10.0,
+                         with_light: bool = True) -> Scene:
+    """Random triangle-soup Scene for large-scene benchmarks and tests.
+
+    `num_triangles` uniformly-placed triangles in a cube of half-width
+    `extent`, sized so expected local density stays roughly constant
+    (edge ~ extent / cbrt(T)); one gray material; one point light above
+    the cube when `with_light` (Whitted-renderable). The reference tops
+    out at the 19k-triangle nanosuit; this generates the >= 200k-triangle
+    scenes the treelet path (engine._make_treelet_intersect) exists for.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    T = num_triangles
+    T_pad = max(_round_up(T, LANE), LANE)
+    size = 4.0 * extent / max(float(T) ** (1.0 / 3.0), 1.0)
+    v0 = rng.uniform(-extent, extent, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0.0, size, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0.0, size, (T, 3)).astype(np.float32)
+
+    def pad(a):
+        out = np.zeros((T_pad,) + a.shape[1:], np.float32)
+        out[:T] = a
+        return out
+
+    gn = np.cross(e1, e2)
+    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    uv = rng.uniform(0.0, 1.0, (T, 2)).astype(np.float32)
+
+    tri_valid = np.zeros(T_pad, bool)
+    tri_valid[:T] = True
+    areas = triangle_areas(e1, e2)
+
+    L = 1 if with_light else 0
+    jarr = jnp.asarray
+    return Scene(
+        tri_v0=jarr(pad(v0)), tri_e1=jarr(pad(e1)), tri_e2=jarr(pad(e2)),
+        n0=jarr(pad(gn)), n1=jarr(pad(gn)), n2=jarr(pad(gn)),
+        uv0=jarr(pad(uv)), uv1=jarr(pad(uv)), uv2=jarr(pad(uv)),
+        tri_mat=jarr(np.zeros(T_pad, np.int32)),
+        tri_valid=jarr(tri_valid),
+        mesh_tri_start=jarr(np.array([0], np.int32)),
+        mesh_tri_count=jarr(np.array([T], np.int32)),
+        mesh_area=jarr(np.array([float(areas.sum())], np.float32)),
+        mat_ambient=jarr(np.full((1, 3), 0.05, np.float32)),
+        mat_diffuse=jarr(np.full((1, 3), 0.7, np.float32)),
+        mat_specular=jarr(np.zeros((1, 3), np.float32)),
+        mat_emissive=jarr(np.zeros((1, 3), np.float32)),
+        mat_shininess=jarr(np.array([8.0], np.float32)),
+        mat_opacity=jarr(np.ones(1, np.float32)),
+        mat_map_diffuse=jarr(np.full(1, -1, np.int32)),
+        mat_map_specular=jarr(np.full(1, -1, np.int32)),
+        mat_map_bump=jarr(np.full(1, -1, np.int32)),
+        tex_atlas=jarr(np.zeros((1, 1, 3), np.float32)),
+        tex_off=jarr(np.zeros((1, 2), np.int32)),
+        tex_hw=jarr(np.ones((1, 2), np.int32)),
+        emissive_mesh_ids=jarr(np.full(1, -1, np.int32)),
+        light_pos=jarr(np.array([[0.0, 2.5 * extent, 0.0]], np.float32)),
+        light_color=jarr(np.ones((1, 3), np.float32)),
+        light_intensity=jarr(np.full(
+            1, 25.0 * extent * extent if with_light else 0.0, np.float32)),
+        num_triangles=T, num_meshes=1, num_emissive=0, num_lights=L,
     )
 
 

@@ -112,14 +112,21 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
     from orion_tpu.io.image import save_image
     from orion_tpu.render import render
 
+    from orion_tpu.engine import refresh_octant_order
+
     rtc = copy.deepcopy(ps.rtc)
     rtc.xres, rtc.yres = xres, yres
     cam.apply_to_rtc(rtc)
     camera = camera_from_rtc(rtc)
+    # the BVH child order was baked for the prepare-time camera octant; a
+    # fly camera that crossed into another octant would silently lose the
+    # near-first traversal win — re-flatten (no-op when unchanged)
+    ps = refresh_octant_order(ps, camera.front)
     img = render(ps.scene, camera, jax.random.key(0), samples=samples,
                  max_depth=max(int(rtc.recursion_level), 1),
                  light_samples=1, intersect=ps.intersect)
     save_image(out_path, np.asarray(img))
+    return ps
 
 
 def _ansi_preview(path: str, cols: int = 80) -> str:
@@ -177,7 +184,7 @@ def run_viewer(rtc_path: str, *, xres: int = 192, yres: int = 108,
     frames = 0
     spp = samples
     while max_frames is None or frames < max_frames:
-        _render_preview(ps, cam, spp, out, xres, yres)
+        ps = _render_preview(ps, cam, spp, out, xres, yres)
         frames += 1
         try:
             echo(_ansi_preview(out))

@@ -131,18 +131,15 @@ def test_optim_rejects_geometry_params_on_bvh_backend(assets_dir):
             steps=1)
 
 
-def test_forced_pallas_over_cap_raises(assets_dir):
-    """An explicit bvh-pallas pin must raise (not silently downgrade) when
-    the scene exceeds the VMEM residency cap (ADVICE round 1)."""
-    import dataclasses
-
-    import pytest as _pytest
-
+def test_forced_pallas_over_cap_uses_treelets(assets_dir):
+    """An explicit bvh-pallas pin must stay on the Pallas path when the
+    scene exceeds the VMEM residency cap — the treelet decomposition, not
+    a silent downgrade to bvh-jnp (ADVICE round 1 + VERDICT item 7)."""
     from orion_tpu import engine
     from orion_tpu.engine import select_intersect
     from orion_tpu.scene import load_scene
 
-    scene, _ = load_scene(assets_dir / "cornell-box.rtc")
+    scene, _ = load_scene(assets_dir / "nanosuit.rtc")
     old = engine.__dict__.get("jax")
     # off-TPU the cap is not enforced by select_intersect (interpret mode);
     # simulate the TPU branch by monkeypatching default_backend
@@ -151,14 +148,17 @@ def test_forced_pallas_over_cap_raises(assets_dir):
         def default_backend():
             return "tpu"
     engine.jax = _FakeJax()
+    import orion_tpu.ops.pallas_bvh as pb
+    cap = pb.RESIDENT_MAX_BUNDLED
     try:
-        import orion_tpu.ops.pallas_bvh as pb
-        cap = pb.RESIDENT_MAX_BUNDLED
-        pb.RESIDENT_MAX_BUNDLED = 8  # force "over cap" for the 36-tri box
-        with _pytest.raises(ValueError, match="residency cap"):
-            select_intersect(scene, force="bvh-pallas")
-        pb.RESIDENT_MAX_BUNDLED = cap
+        pb.RESIDENT_MAX_BUNDLED = 8192  # force "over cap" for nanosuit
+        fn, backend, bvh, stats = select_intersect(scene,
+                                                   force="bvh-pallas")
+        assert backend == "bvh-pallas-treelet"
+        assert fn.num_treelets > 1
+        assert fn.any_hit_variant is not None
     finally:
+        pb.RESIDENT_MAX_BUNDLED = cap
         engine.jax = old
 
 
@@ -179,6 +179,70 @@ def test_black_scene_warns_not_raises(tmp_path):
         warnings.simplefilter("always")
         validate_scene(scene)  # must not raise
     assert any("black" in str(x.message) for x in w)
+
+
+def test_treelet_intersect_matches_brute():
+    """Treelet decomposition (large-scene Pallas path) returns the same
+    nearest hits / occlusion as the brute-force oracle."""
+    import jax
+
+    from orion_tpu.engine import _make_treelet_intersect
+    from orion_tpu.ops.intersect import intersect_brute
+    from orion_tpu.scene import make_synthetic_scene
+
+    scene = make_synthetic_scene(3000, seed=3)
+    import orion_tpu.ops.pallas_bvh as pb
+    cap = pb.RESIDENT_MAX_BUNDLED
+    pb.RESIDENT_MAX_BUNDLED = 2048  # force several treelets at 3k tris
+    try:
+        fn, stats = _make_treelet_intersect(scene, "sah", (1.0, 1.0, 1.0))
+        assert fn.num_treelets > 1
+        key = jax.random.key(0)
+        n = 512
+        orig = jax.random.uniform(key, (n, 3), minval=-12.0, maxval=12.0)
+        dirs = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+
+        h_tree = fn(scene, orig, dirs)
+        h_brute = intersect_brute(scene, orig, dirs)
+        np.testing.assert_allclose(np.asarray(h_tree.t),
+                                   np.asarray(h_brute.t),
+                                   rtol=1e-5, atol=1e-6)
+        hit_frac = float(np.mean(np.asarray(h_brute.mask)))
+        assert hit_frac > 0.3, f"degenerate test scene (hit {hit_frac})"
+
+        h_any = fn.any_hit_variant(scene, orig, dirs)
+        np.testing.assert_array_equal(np.asarray(h_any.mask),
+                                      np.asarray(h_brute.mask))
+    finally:
+        pb.RESIDENT_MAX_BUNDLED = cap
+
+
+def test_refresh_octant_order(assets_dir):
+    """Octant re-bake: no-op for the same camera, rebuilds (with identical
+    nearest hits) when the dominant direction flips octant."""
+    import jax
+
+    from orion_tpu.camera import primary_rays
+    from orion_tpu.engine import refresh_octant_order
+
+    ps = prepare(assets_dir / "nanosuit.rtc", xres=16, yres=16)
+    assert ps.backend.startswith("bvh")
+    assert refresh_octant_order(ps, ps.camera.front) is ps
+
+    from orion_tpu.engine import octant_signs
+
+    flipped = refresh_octant_order(ps, -np.asarray(ps.camera.front))
+    assert flipped is not ps
+    assert (tuple(flipped.order_signs)
+            == octant_signs(-np.asarray(ps.camera.front)))
+    assert tuple(flipped.order_signs) != tuple(ps.order_signs)
+
+    o, d = primary_rays(ps.camera, 0.0, 0.0)
+    h1 = ps.intersect(ps.scene, o, d)
+    h2 = flipped.intersect(flipped.scene, o, d)
+    # traversal order changed; nearest-hit distances must not
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_cli_regen(assets_dir, tmp_path):

@@ -119,27 +119,39 @@ def test_grad_vertex_position_whitted():
 
 def test_grad_vertex_position_path(cornell_scene):
     # full path tracer gradient wrt a light-quad vertex: moving the light
-    # changes NEE geometry smoothly; fixed key, small eps.
+    # changes NEE geometry smoothly ALMOST everywhere — a fixed key can
+    # land a shadow ray exactly on a visibility boundary, where central
+    # differences measure the step (not the smooth local gradient autodiff
+    # computes). Detect that: FD is trusted only when halving eps leaves
+    # it unchanged; on FD-stable keys autodiff matches to ~1e-3 rel.
     scene, rtc = cornell_scene
     rtc.xres, rtc.yres = 12, 8
     cam = camera_from_rtc(rtc)
     em = int(np.asarray(scene.emissive_mesh_ids)[0])
     start = int(np.asarray(scene.mesh_tri_start)[em])
 
-    def loss(dy):
-        v0 = scene.tri_v0.at[start, 1].add(dy)
-        s = dataclasses.replace(scene, tri_v0=v0)
-        img = render(s, cam, jax.random.key(5), samples=1,
-                     max_depth=2, light_samples=1)
-        return jnp.sum(img)
+    def make_loss(k):
+        def loss(dy):
+            v0 = scene.tri_v0.at[start, 1].add(dy)
+            s = dataclasses.replace(scene, tri_v0=v0)
+            img = render(s, cam, jax.random.key(k), samples=1,
+                         max_depth=2, light_samples=1)
+            return jnp.sum(img)
+        return loss
 
-    g = float(jax.grad(loss)(0.0))
-    fd = float(fd_grad(loss, 0.0, 1e-3))
-    assert np.isfinite(g)
-    # FD through a sampled estimator with geometry-dependent visibility is
-    # noisy; require sign agreement + same order of magnitude.
-    if abs(fd) > 1e-6:
-        assert g == pytest.approx(fd, rel=0.2), (g, fd)
+    checked = 0
+    for k in range(8):
+        loss = make_loss(k)
+        g = float(jax.grad(loss)(0.0))
+        assert np.isfinite(g)
+        fd1 = float(fd_grad(loss, 0.0, 1e-3))
+        fd2 = float(fd_grad(loss, 0.0, 2e-3))
+        stable = (abs(fd1 - fd2)
+                  < 0.1 * max(abs(fd1), abs(fd2), 1e-6))
+        if stable and abs(fd1) > 1e-3:
+            assert g == pytest.approx(fd1, rel=0.05), (k, g, fd1)
+            checked += 1
+    assert checked >= 3, f"only {checked} FD-stable keys out of 8"
 
 
 def test_grads_finite_everywhere(cornell_scene):

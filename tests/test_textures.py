@@ -27,8 +27,24 @@ def test_texture_maps_registered(nanosuit_textured):
     uniq = len(np.unique(np.concatenate([maps[maps >= 0],
                                          spec[spec >= 0],
                                          bump[bump >= 0]])))
-    assert scene.tex_stack.shape[0] == uniq  # deduped by path
+    assert scene.tex_off.shape[0] == uniq  # deduped by path
     assert (hw[:, 0] > 0).all() and (hw[:, 1] > 0).all()
+
+
+def test_atlas_packing_is_tight_and_correct(nanosuit_textured):
+    """Atlas slots hold exactly their source images, don't overlap, and the
+    packed footprint beats the old [I, Hmax, Wmax] padded stack."""
+    scene, _ = nanosuit_textured
+    atlas = np.asarray(scene.tex_atlas)
+    off = np.asarray(scene.tex_off)
+    hw = np.asarray(scene.tex_hw)
+    covered = np.zeros(atlas.shape[:2], np.int32)
+    for (y0, x0), (h, w) in zip(off, hw):
+        assert y0 + h <= atlas.shape[0] and x0 + w <= atlas.shape[1]
+        covered[y0:y0 + h, x0:x0 + w] += 1
+    assert covered.max() == 1, "overlapping atlas slots"
+    padded_stack_px = len(hw) * hw[:, 0].max() * hw[:, 1].max()
+    assert atlas.shape[0] * atlas.shape[1] < padded_stack_px
 
 
 def test_texture_sampling_varies_with_uv(nanosuit_textured):
