@@ -1,0 +1,201 @@
+"""Measured roofline for the intersection kernels (VERDICT round 1 #4).
+
+Empirical chip ceilings (measured, not quoted):
+  - VPU f32 peak proxy: a long fused multiply-add chain on a resident
+    vector (compute-bound by construction).
+  - HBM bandwidth: reduction over a multi-GB array (bandwidth-bound).
+
+Kernel work accounting:
+  - Möller-Trumbore costs ~53 VPU flops per ray-triangle test (counted
+    from mt_plane: 3 crosses = 27, 4 dots = 20, 1 div, 5 compares).
+  - Brute kernel: rays/s x T_pad tests/ray.
+  - BVH packet kernel: tests/ray = (leaf visits per block) x 128 x RB /
+    RB, taken from a host-side simulation of the block-uniform
+    skip-pointer walk over a sample of real ray blocks (same algorithm
+    as the kernel, numpy).
+
+Run on TPU: `python experiments/exp_roofline.py`; JSON lines.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+MT_FLOPS = 53.0
+
+
+def measure_vpu_peak():
+    import jax
+    import jax.numpy as jnp
+
+    n = 4 * 1024 * 1024
+    k = 512
+    x = jnp.ones((n,), jnp.float32) * 1.000001
+    a = jnp.float32(0.999999)
+    b = jnp.float32(1e-7)
+
+    @jax.jit
+    def chain(x):
+        def body(i, x):
+            return x * a + b
+        return jax.lax.fori_loop(0, k, body, x)
+
+    y = chain(x)
+    _ = float(jnp.sum(y))
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        y = chain(y)
+    _ = float(jnp.sum(y))
+    dt = (time.perf_counter() - t0) / iters
+    return 2.0 * n * k / dt  # FMA = 2 flops
+
+
+def measure_hbm_bw():
+    import jax
+    import jax.numpy as jnp
+
+    n = 512 * 1024 * 1024  # 2 GB f32
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def red(x):
+        return jnp.sum(x)
+
+    _ = float(red(x))
+    t0 = time.perf_counter()
+    iters = 5
+    acc = 0.0
+    for _ in range(iters):
+        acc += float(red(x))
+    dt = (time.perf_counter() - t0) / iters
+    return 4.0 * n / dt  # bytes read / s
+
+
+def simulate_packet_walk(bvh, orig, dirs, rb, n_blocks=64, seed=0):
+    """Host replica of the kernel's block-uniform skip-pointer walk.
+    Returns (mean node steps per block, mean leaf visits per block)."""
+    lo = np.asarray(bvh.node_lo)
+    hi = np.asarray(bvh.node_hi)
+    skip = np.asarray(bvh.node_skip)
+    start = np.asarray(bvh.node_start)
+    M = bvh.num_nodes
+    N = orig.shape[0]
+    rng = np.random.default_rng(seed)
+    blocks = rng.choice(N // rb, size=min(n_blocks, N // rb), replace=False)
+    tot_steps = tot_leaves = 0
+    for b in blocks:
+        o = np.asarray(orig[b * rb:(b + 1) * rb], np.float64)
+        d = np.asarray(dirs[b * rb:(b + 1) * rb], np.float64)
+        inv = 1.0 / d
+        t_best = np.full(rb, np.inf)
+        ptr = 0
+        while ptr < M:
+            t0 = (lo[ptr] - o) * inv
+            t1 = (hi[ptr] - o) * inv
+            tmin = np.minimum(t0, t1).max(axis=1)
+            tmax = np.maximum(t0, t1).min(axis=1)
+            hit = (tmax >= tmin) & (tmax > 0) & (tmin < t_best)
+            tot_steps += 1
+            if hit.any():
+                if start[ptr] >= 0:
+                    tot_leaves += 1
+                    # approximate t improvement: clamp t_best to the
+                    # leaf's entry distance (cheap stand-in for MT)
+                    t_best = np.where(hit, np.minimum(t_best, tmin + 1.0),
+                                      t_best)
+                    ptr = skip[ptr]
+                else:
+                    ptr += 1
+            else:
+                ptr = skip[ptr]
+    nb = len(blocks)
+    return tot_steps / nb, tot_leaves / nb
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.accel.bvh import SAH, build_bvh
+    from orion_tpu.camera import camera_from_rtc, primary_rays
+    from orion_tpu.scene import load_scene
+
+    vpu = measure_vpu_peak()
+    print(json.dumps({"measure": "vpu_f32_flops_per_s", "value": vpu}),
+          flush=True)
+    hbm = measure_hbm_bw()
+    print(json.dumps({"measure": "hbm_read_bytes_per_s", "value": hbm}),
+          flush=True)
+
+    # brute kernel achieved intensity on the cornell box
+    from orion_tpu.engine import prepare
+    from orion_tpu.ops.pallas_intersect import intersect_brute_pallas
+
+    ps = prepare("/root/reference/assets/cornell-box.rtc", xres=512,
+                 yres=512)
+    orig, dirs = primary_rays(ps.camera, 0.0, 0.0)
+    h = intersect_brute_pallas(ps.scene, orig, dirs)
+    _ = float(jnp.sum(h.t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        h = intersect_brute_pallas(ps.scene, orig, dirs)
+    _ = float(jnp.sum(h.t))
+    dt = (time.perf_counter() - t0) / 5
+    n = orig.shape[0]
+    t_pad = int(np.asarray(ps.scene.tri_v0).shape[0])
+    flops = n * t_pad * MT_FLOPS / dt
+    print(json.dumps({"measure": "brute_cornell",
+                      "rays_per_s": round(n / dt, 1),
+                      "tests_per_ray": t_pad,
+                      "achieved_flops": flops,
+                      "pct_of_vpu": round(100 * flops / vpu, 1)}),
+          flush=True)
+
+    # BVH packet kernel achieved intensity on nanosuit primaries
+    scene, rtc = load_scene("/root/reference/assets/nanosuit.rtc")
+    rtc.xres = rtc.yres = 1024
+    cam = camera_from_rtc(rtc)
+    orig, dirs = primary_rays(cam, 0.0, 0.0)
+    signs = tuple(float(s) if s != 0 else 1.0
+                  for s in np.sign(np.asarray(cam.front)))
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=SAH,
+                       leaf_size=128, leaf_width=128, order_signs=signs)
+    rb = 256
+    steps, leaves = simulate_packet_walk(bvh, np.asarray(orig),
+                                         np.asarray(dirs), rb)
+    from orion_tpu.ops.pallas_bvh import make_bvh_intersect_pallas
+
+    fn = make_bvh_intersect_pallas(bvh, scene, ray_block=rb)
+    h = fn(scene, orig, dirs)
+    _ = float(jnp.sum(h.t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        h = fn(scene, orig, dirs)
+    _ = float(jnp.sum(h.t))
+    dt = (time.perf_counter() - t0) / 5
+    n = orig.shape[0]
+    n_blocks = n // rb
+    mt_flops = n_blocks * leaves * 128 * rb * MT_FLOPS / dt
+    slab_flops = n_blocks * steps * rb * 30.0 / dt
+    print(json.dumps({"measure": "bvh_nanosuit_primary",
+                      "rays_per_s": round(n / dt, 1),
+                      "node_steps_per_block": round(steps, 1),
+                      "leaf_visits_per_block": round(leaves, 1),
+                      "tests_per_ray": round(leaves * 128, 1),
+                      "achieved_mt_flops": mt_flops,
+                      "achieved_total_flops": mt_flops + slab_flops,
+                      "pct_of_vpu": round(
+                          100 * (mt_flops + slab_flops) / vpu, 1)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
