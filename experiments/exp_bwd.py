@@ -54,7 +54,10 @@ def main():
     print(json.dumps({"variant": "forward_only", "seconds": round(dt, 4),
                       "rays_per_s": round(primary / dt, 1)}), flush=True)
 
-    for name, kw in [("grad_baseline", {}), ("grad_remat", {"remat": True})]:
+    for name, kw in [("grad_baseline", {}), ("grad_remat", {"remat": True}),
+                     ("grad_remat_hits", {"remat": "hits"}),
+                     ("grad_hits_fold", {"remat": "hits",
+                                         "fold_samples": True})]:
         loss = make_loss(ps.scene, ps.camera, samples=samples,
                          max_depth=depth, light_samples=2, mode="path",
                          intersect=ps.intersect, **kw)
@@ -65,6 +68,30 @@ def main():
         dt = timeit(go)
         print(json.dumps({"variant": name, "seconds": round(dt, 4),
                           "fwd_bwd_rays_per_s": round(primary / dt, 1)}),
+              flush=True)
+
+    # larger wavefront variants: 512^2 x 1spp (same rays in one wavefront)
+    # and 512^2 x 4spp folded (4M rays/step)
+    for res, spp, fold in [(512, 1, False), (512, 4, True)]:
+        ps2 = prepare("/root/reference/assets/cornell-box.rtc",
+                      xres=res, yres=res)
+        tgt = jnp.zeros((res, res, 3), jnp.float32)
+        loss = make_loss(ps2.scene, ps2.camera, samples=spp, max_depth=depth,
+                         light_samples=2, mode="path",
+                         intersect=ps2.intersect, remat="hits",
+                         fold_samples=fold)
+        grad_fn = jax.jit(jax.value_and_grad(loss))
+        p2 = {"mat_diffuse": ps2.scene.mat_diffuse,
+              "tri_v0": ps2.scene.tri_v0}
+
+        def go2():
+            return grad_fn(p2, key, tgt)
+        dt = timeit(go2, iters=3)
+        n = res * res * spp
+        print(json.dumps({"variant": f"grad_hits_{res}x{spp}"
+                                     + ("_fold" if fold else ""),
+                          "seconds": round(dt, 4),
+                          "fwd_bwd_rays_per_s": round(n / dt, 1)}),
               flush=True)
 
     # gather instead of one-hot matmul in take_rows

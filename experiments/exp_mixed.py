@@ -58,7 +58,10 @@ def part1_bwd_policies():
         if pol is not None:
             jax.checkpoint = functools.partial(orig_checkpoint, policy=pol)
         try:
-            R.render.clear_cache()
+            # NOTE: `import orion_tpu.render as R` binds R to the *render
+            # function* (the package's `from .render import render` shadows
+            # the submodule attribute), so clear_cache lives on R itself
+            R.clear_cache()
             loss = make_loss(ps.scene, ps.camera, samples=samples,
                              max_depth=depth, light_samples=2, mode="path",
                              intersect=ps.intersect, remat=True)

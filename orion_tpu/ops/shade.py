@@ -76,6 +76,35 @@ def emissive_color(scene: Scene, mat_id: jax.Array, uv: jax.Array) -> jax.Array:
     return take_rows(scene.mat_emissive, mat_id)
 
 
+def phong_eval(ka: jax.Array, kd: jax.Array, ks: jax.Array,
+               shininess: jax.Array, ray_dir: jax.Array, normal: jax.Array,
+               hit_point: jax.Array, light_pos: jax.Array,
+               light_color: jax.Array,
+               light_intensity: jax.Array) -> jax.Array:
+    """Phong from pre-sampled material terms (see phong_color).
+
+    Material samples depend only on the hit point, not the light —
+    callers shading L lights sample once and tile, instead of gathering
+    the texture atlas L times (render.py _whitted_bounce).
+    """
+    to_light = light_pos - hit_point
+    d2 = jnp.sum(to_light * to_light, axis=-1)
+    light_dir = normalize(to_light)
+
+    ndotl = jnp.maximum(jnp.sum(normal * light_dir, axis=-1), 0.0)
+    diffuse = ndotl[:, None] * kd
+
+    view_dir = normalize(-ray_dir)
+    reflect_dir = reflect(-light_dir, normal)
+    spec_cos = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
+    # pow(0, 0) guard: jnp.power(0., 0.) == 1 like C++ powf
+    spec = 0.5 * jnp.power(spec_cos, shininess)
+    specular = spec[:, None] * ks
+
+    return (light_color * (ka + diffuse + specular)
+            * (light_intensity / jnp.maximum(d2, 1e-20))[:, None])
+
+
 def phong_color(scene: Scene, mat_id: jax.Array, uv: jax.Array,
                 ray_dir: jax.Array, normal: jax.Array, hit_point: jax.Array,
                 light_pos: jax.Array, light_color: jax.Array,
@@ -84,25 +113,27 @@ def phong_color(scene: Scene, mat_id: jax.Array, uv: jax.Array,
 
     Matches Material::color (material.hpp:72-93); `normal` must be normalized.
     """
+    return phong_eval(ambient_color(scene, mat_id, uv),
+                      diffuse_color(scene, mat_id, uv),
+                      specular_color(scene, mat_id, uv),
+                      take_rows(scene.mat_shininess, mat_id),
+                      ray_dir, normal, hit_point,
+                      light_pos, light_color, light_intensity)
+
+
+def brdf_eval(kd: jax.Array, normal: jax.Array, hit_point: jax.Array,
+              light_pos: jax.Array, light_color: jax.Array,
+              light_intensity: jax.Array,
+              light_normal: jax.Array) -> jax.Array:
+    """color_brdf from a pre-sampled Kd (NEE tiles the same surface point
+    over E x S light samples — sample the texture once, not E*S times)."""
     to_light = light_pos - hit_point
     d2 = jnp.sum(to_light * to_light, axis=-1)
     light_dir = normalize(to_light)
-
-    ambient = ambient_color(scene, mat_id, uv)
-
-    ndotl = jnp.maximum(jnp.sum(normal * light_dir, axis=-1), 0.0)
-    diffuse = ndotl[:, None] * diffuse_color(scene, mat_id, uv)
-
-    view_dir = normalize(-ray_dir)
-    reflect_dir = reflect(-light_dir, normal)
-    spec_cos = jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1), 0.0)
-    shininess = take_rows(scene.mat_shininess, mat_id)
-    # pow(0, 0) guard: jnp.power(0., 0.) == 1 like C++ powf
-    spec = 0.5 * jnp.power(spec_cos, shininess)
-    specular = spec[:, None] * specular_color(scene, mat_id, uv)
-
-    return (light_color * (ambient + diffuse + specular)
-            * (light_intensity / jnp.maximum(d2, 1e-20))[:, None])
+    cos_s = jnp.sum(normal * light_dir, axis=-1)
+    cos_l = jnp.sum(light_normal * (-light_dir), axis=-1)
+    geom = jnp.maximum(cos_s * cos_l, 0.0)
+    return light_color * kd * (geom * light_intensity / (1.0 + d2))[:, None]
 
 
 def color_brdf(scene: Scene, mat_id: jax.Array, uv: jax.Array,
@@ -115,14 +146,8 @@ def color_brdf(scene: Scene, mat_id: jax.Array, uv: jax.Array,
     reference's (non-physical but self-consistent) 1/(1+d^2) falloff and the
     clamp applied to the *product* of cosines.
     """
-    to_light = light_pos - hit_point
-    d2 = jnp.sum(to_light * to_light, axis=-1)
-    light_dir = normalize(to_light)
-    cos_s = jnp.sum(normal * light_dir, axis=-1)
-    cos_l = jnp.sum(light_normal * (-light_dir), axis=-1)
-    geom = jnp.maximum(cos_s * cos_l, 0.0)
-    kd = diffuse_color(scene, mat_id, uv)
-    return light_color * kd * (geom * light_intensity / (1.0 + d2))[:, None]
+    return brdf_eval(diffuse_color(scene, mat_id, uv), normal, hit_point,
+                     light_pos, light_color, light_intensity, light_normal)
 
 
 def perturb_normal(scene: Scene, mat_id: jax.Array, uv: jax.Array,

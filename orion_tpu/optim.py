@@ -61,7 +61,8 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
               light_samples: int, mode: Optional[str],
               intersect: Optional[IntersectFn],
               loss_fn: Optional[Callable] = None,
-              remat: bool = False):
+              remat: bool = False,
+              fold_samples: bool = False):
     """loss(params, key, target) closure over a base scene.
 
     Geometry params (tri_*) require a brute backend — the BVH closures
@@ -70,6 +71,8 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
     remat=True checkpoints each bounce in the backward pass (recompute
     instead of storing per-bounce residuals) — wins when the residual
     traffic, not compute, bounds the backward (large N x depth).
+    remat="hits" additionally saves the per-bounce hit records so the
+    backward pass never re-runs an intersection kernel (render.py).
     """
 
     def loss(params, key, target):
@@ -78,7 +81,8 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
         # through its (pruned-in-forward-renders) reflection subpath
         img = render(s, camera, key, samples=samples, max_depth=max_depth,
                      light_samples=light_samples, mode=mode,
-                     intersect=intersect, prune_zero=False, remat=remat)
+                     intersect=intersect, prune_zero=False, remat=remat,
+                     fold_samples=fold_samples)
         if loss_fn is not None:
             return loss_fn(img, target)
         return jnp.mean((img - target) ** 2)

@@ -93,13 +93,14 @@ def _regen_loop(scene, camera: Camera, key: jax.Array, pix: jax.Array, *,
         em = ke * (area * cosv)[:, None]
         radiance = jnp.where((hit_mask & (depth == 0))[:, None], em, 0.0)
 
+        # one diffuse sample per step: NEE and Russian roulette share it
+        kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
         if scene.num_emissive > 0:
-            radiance = radiance + _nee(scene, attrs, hit_mask, k_nee,
+            radiance = radiance + _nee(scene, attrs, kd, hit_mask, k_nee,
                                        light_samples, intersect)
         acc = acc + radiance * throughput
 
         # Russian roulette + depth cap (raytracer.cpp:161-170)
-        kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
         p_continue = jnp.max(kd, axis=-1)
         u_rr = jax.random.uniform(k_rr, (N,))
         cont = hit_mask & (depth < max_depth) & (u_rr <= p_continue)

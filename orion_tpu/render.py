@@ -25,10 +25,12 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from orion_tpu.camera import Camera, primary_rays
 from orion_tpu.ops import shade
 from orion_tpu.ops.intersect import (Hit, hit_attributes, intersect_brute,
-                                     tangent_frame)
+                                     take_rows, tangent_frame)
 from orion_tpu.scene import Scene
 
 # bias to move rays off surfaces (raytracer.cpp:118)
@@ -38,6 +40,22 @@ BIAS = 1e-3
 # Hit. `alive` is an optional [N] bool; implementations may skip (and
 # report miss for) dead rays — callers only consume results where alive.
 IntersectFn = Callable[..., Hit]
+
+
+def _tag_hits(fn: IntersectFn) -> IntersectFn:
+    """Name an intersect fn's outputs "hit" for the remat="hits" policy.
+
+    The hit record is 8 bytes/ray; the kernel that produced it walks the
+    whole acceleration structure. Saving the record and rematerializing
+    everything else makes the backward pass intersection-free.
+    """
+
+    def tagged(scene, orig, dirs, **kw):
+        h = fn(scene, orig, dirs, **kw)
+        return Hit(t=checkpoint_name(h.t, "hit"),
+                   tri_id=checkpoint_name(h.tri_id, "hit"))
+
+    return tagged
 
 
 def default_intersect() -> IntersectFn:
@@ -68,7 +86,7 @@ def _emissive_primary_term(scene: Scene, attrs, dirs, depth):
     return jnp.where(depth == 0, term, jnp.zeros_like(term))
 
 
-def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
+def _nee(scene: Scene, attrs, kd, hit_mask, key, light_samples: int,
          intersect: IntersectFn):
     """Next-event estimation against every emissive mesh.
 
@@ -114,12 +132,12 @@ def _nee(scene: Scene, attrs, hit_mask, key, light_samples: int,
                & (s_attrs.mesh_id == jnp.repeat(mesh_id_rep, N))
                & jnp.tile(hit_mask, ES))
     ke = shade.emissive_color(scene, s_attrs.mat_id, s_attrs.uv)
-    c = shade.color_brdf(scene,
-                         jnp.tile(attrs.mat_id, ES),
-                         jnp.tile(attrs.uv, (ES, 1)),
-                         jnp.tile(attrs.s_normal, (ES, 1)),
-                         point_all, target_all, ke, weight_all,
-                         s_attrs.s_normal)
+    # kd is the SURFACE point's diffuse — identical across the ES tiled
+    # copies, sampled once by the caller and tiled here
+    c = shade.brdf_eval(jnp.tile(kd, (ES, 1)),
+                        jnp.tile(attrs.s_normal, (ES, 1)),
+                        point_all, target_all, ke, weight_all,
+                        s_attrs.s_normal)
     c = jnp.where(visible[:, None], c, 0.0)
     return jnp.sum(c.reshape(ES, N, 3), axis=0) / float(S)
 
@@ -150,13 +168,18 @@ def _path_bounce(scene: Scene, carry, depth, key, light_samples: int,
     em = _emissive_primary_term(scene, attrs, dirs, depth)
     radiance += jnp.where(hit_mask[:, None], em, 0.0)
 
+    # one diffuse sample per bounce: NEE's BRDF term and Russian roulette
+    # read the same surface Kd (the reference re-reads the texture per
+    # light sample, material.hpp:95-105)
+    kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
+
     k_nee, k_rr, k_dir = jax.random.split(jax.random.fold_in(key, depth), 3)
     if scene.num_emissive > 0:
-        radiance += _nee(scene, attrs, hit_mask, k_nee, light_samples, intersect)
+        radiance += _nee(scene, attrs, kd, hit_mask, k_nee, light_samples,
+                         intersect)
     radiance = radiance * throughput
 
     # Russian roulette continuation (raytracer.cpp:161-170)
-    kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
     p_continue = jnp.max(kd, axis=-1)
     u_rr = jax.random.uniform(k_rr, p_continue.shape)
     continue_mask = hit_mask & (depth < max_depth) & (u_rr <= p_continue)
@@ -209,6 +232,15 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
     shadow_origin = attrs.point + BIAS * attrs.g_normal
     L = scene.num_lights
     N = attrs.point.shape[0]
+    # material samples depend only on the hit point: sample ONCE per
+    # bounce and tile over lights (texture-atlas/table gathers dominate
+    # the non-kernel time; the reference re-reads them per light,
+    # material.hpp:72-93); the specular map is also the mirror
+    # continuation weight below
+    ka = shade.ambient_color(scene, attrs.mat_id, attrs.uv)
+    kd = shade.diffuse_color(scene, attrs.mat_id, attrs.uv)
+    refl = shade.specular_color(scene, attrs.mat_id, attrs.uv)
+    shin = take_rows(scene.mat_shininess, attrs.mat_id)
     if L > 0:
         # fully batched over lights: one stacked intersect + one vectorized
         # Phong evaluation — compile cost O(1) in L (the reference's data
@@ -222,24 +254,24 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
         # reference quirk kept: ANY intersection blocks, even geometry
         # beyond the light (raytracer.cpp:196-201); see PARITY.md
         lit = jnp.tile(hit_mask, L) & ~s_hit.mask
-        c = shade.phong_color(scene,
-                              jnp.tile(attrs.mat_id, L),
-                              jnp.tile(attrs.uv, (L, 1)),
-                              jnp.tile(dirs, (L, 1)),
-                              jnp.tile(attrs.s_normal, (L, 1)),
-                              point_all, lpos_all,
-                              jnp.repeat(scene.light_color[:L], N, axis=0),
-                              jnp.repeat(scene.light_intensity[:L], N))
+        c = shade.phong_eval(jnp.tile(ka, (L, 1)),
+                             jnp.tile(kd, (L, 1)),
+                             jnp.tile(refl, (L, 1)),
+                             jnp.tile(shin, L),
+                             jnp.tile(dirs, (L, 1)),
+                             jnp.tile(attrs.s_normal, (L, 1)),
+                             point_all, lpos_all,
+                             jnp.repeat(scene.light_color[:L], N, axis=0),
+                             jnp.repeat(scene.light_intensity[:L], N))
         c = jnp.where(lit[:, None], c, 0.0)
         radiance += jnp.sum(c.reshape(L, N, 3), axis=0)
     radiance = radiance * throughput
 
-    # perfect mirror continuation scaled by the specular map; rays whose
-    # reflected throughput is exactly zero contribute nothing downstream —
-    # retire them so the alive-masked kernels skip their blocks
-    # (estimator-identical: the reference still recurses on them,
-    # raytracer.cpp:203-206, but multiplies the result by zero)
-    refl = shade.specular_color(scene, attrs.mat_id, attrs.uv)
+    # perfect mirror continuation scaled by the specular map (refl,
+    # sampled above); rays whose reflected throughput is exactly zero
+    # contribute nothing downstream — retire them so the alive-masked
+    # kernels skip their blocks (estimator-identical: the reference still
+    # recurses on them, raytracer.cpp:203-206, but multiplies by zero)
     continue_mask = hit_mask & (depth < max_depth)
     if prune_zero:
         continue_mask &= jnp.any(throughput * refl > 0.0, axis=-1)
@@ -277,10 +309,14 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     lights, matching raytracer.cpp:131). normal_maps enables tangent-space
     bump mapping (off by default — PARITY.md).
 
-    remat: wrap each bounce in jax.checkpoint — the backward pass then
-    recomputes a bounce's intermediates from its (small) carry instead of
-    storing ~dozens of [N,3] residuals per (sample, depth) step in HBM.
-    Forward-only renders ignore it; training at scale wants it on.
+    remat: False | True | "hits". True wraps each bounce in
+    jax.checkpoint — the backward pass recomputes a bounce's
+    intermediates from its (small) carry instead of storing ~dozens of
+    [N,3] residuals per (sample, depth) step in HBM. "hits" additionally
+    saves each bounce's hit records (8 bytes/ray) under a
+    save_only_these_names policy, so the backward pass rematerializes
+    only the cheap shading math and never re-runs an intersection
+    kernel. Forward-only renders ignore it; training wants "hits".
 
     sort_bounces: after each bounce, reorder the wavefront by
     (dead-last, direction octant) so the Pallas packet kernels see
@@ -293,6 +329,10 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
         mode = "whitted" if scene.num_lights > 0 else "path"
     if intersect is None:
         intersect = default_intersect()
+    if remat == "hits":
+        intersect = _tag_hits(intersect)
+        if shadow_intersect is not None:
+            shadow_intersect = _tag_hits(shadow_intersect)
     N = orig.shape[0]
     throughput = jnp.ones((N, 3), jnp.float32)
     alive = jnp.ones((N,), bool)
@@ -309,7 +349,15 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    if remat:
+    if remat == "hits":
+        # save ONLY the (tiny) hit records; the backward pass then reuses
+        # them instead of re-walking the acceleration structure, and
+        # recomputes the cheap shading/sampling math from each bounce's
+        # carry — intersection kernels run exactly once per bounce
+        bounce = jax.checkpoint(
+            bounce,
+            policy=jax.checkpoint_policies.save_only_these_names("hit"))
+    elif remat:
         bounce = jax.checkpoint(bounce)
 
     depths = jnp.arange(max_depth + 1)
@@ -343,7 +391,7 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
                                    "shared_jitter", "sample_offset",
                                    "normal_maps", "sort_bounces",
                                    "shadow_intersect", "prune_zero",
-                                   "remat"))
+                                   "remat", "fold_samples"))
 def render(scene: Scene, camera: Camera, key: jax.Array, *,
            samples: int = 1, max_depth: int = 1, light_samples: int = 2,
            mode: Optional[str] = None,
@@ -355,7 +403,8 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
            sort_bounces: bool = False,
            shadow_intersect: Optional[IntersectFn] = None,
            prune_zero: bool = True,
-           remat: bool = False) -> jax.Array:
+           remat: bool = False,
+           fold_samples: bool = False) -> jax.Array:
     """Render an [H, W, 3] image with `samples` jittered samples per pixel.
 
     shared_jitter=True replicates the reference's shared sub-pixel pattern
@@ -365,10 +414,43 @@ def render(scene: Scene, camera: Camera, key: jax.Array, *,
     sample_offset shifts the per-sample key indices: sample i draws keys
     from fold_in(key, sample_offset + i), so chunked/checkpointed renders
     composing [0,n) + [n,m) bit-match a single [0,m) render (io/checkpoint).
+
+    fold_samples=True traces all `samples` as ONE [S*H*W] wavefront
+    instead of a lax.scan over per-sample wavefronts: S x the rays in
+    flight per kernel launch, which keeps the chip saturated at small
+    resolutions (the fwd+bwd training config is 256^2). Same estimator,
+    different RNG stream than the scanned form (each folded ray draws
+    from its own slot of the batched uniforms), so images differ at the
+    noise level; checkpoint composition via sample_offset still works at
+    whole-call granularity.
     """
     H, W = camera.yres, camera.xres
     px = 2.0 / W
     py = 2.0 / H
+
+    if fold_samples:
+        ks = jnp.stack([jax.random.fold_in(key, k + sample_offset)
+                        for k in range(samples)])
+        k_jits = jax.vmap(lambda k: jax.random.split(k)[0])(ks)
+        if shared_jitter:
+            jit = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(k_jits)
+        else:
+            jit = jax.vmap(lambda k: jax.random.uniform(k, (2, H, W)))(k_jits)
+        orig, dirs = jax.vmap(
+            lambda j: primary_rays(camera, j[0] * px, j[1] * py))(jit)
+        orig = orig.reshape(samples * H * W, 3)
+        dirs = dirs.reshape(samples * H * W, 3)
+        k_trace = jax.random.split(jax.random.fold_in(key, sample_offset))[1]
+        radiance = trace_wavefront(scene, orig, dirs, k_trace,
+                                   max_depth=max_depth,
+                                   light_samples=light_samples, mode=mode,
+                                   intersect=intersect,
+                                   reference_frame=reference_frame,
+                                   normal_maps=normal_maps,
+                                   sort_bounces=sort_bounces,
+                                   shadow_intersect=shadow_intersect,
+                                   prune_zero=prune_zero, remat=remat)
+        return jnp.mean(radiance.reshape(samples, H, W, 3), axis=0)
 
     def sample_body(acc, k):
         k_jit, k_trace = jax.random.split(

@@ -203,3 +203,56 @@ def test_grad_backend_agreement(cornell_scene):
     g_bvh = jax.grad(make_loss(make_bvh_intersect(bvh)))(scene.mat_diffuse)
     np.testing.assert_allclose(np.asarray(g_bvh), np.asarray(g_brute),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_grad_remat_variants_identical(cornell_scene):
+    """remat=True / remat="hits" are pure rescheduling: values AND grads
+    must equal the unremateralized backward bit-for-bit (the "hits"
+    policy saves the intersection records instead of re-running the
+    kernels — render.py _tag_hits)."""
+    scene, rtc = cornell_scene
+    rtc.xres, rtc.yres = 16, 9
+    cam = camera_from_rtc(rtc)
+    key = jax.random.key(0)
+    target = jnp.zeros((9, 16, 3), jnp.float32)
+
+    def make(remat):
+        def loss(params):
+            s = dataclasses.replace(scene, **params)
+            img = render(s, cam, key, samples=2, max_depth=3,
+                         light_samples=2, prune_zero=False, remat=remat)
+            return jnp.mean((img - target) ** 2)
+        return loss
+
+    params = {"mat_diffuse": scene.mat_diffuse, "tri_v0": scene.tri_v0}
+    grads = {}
+    for remat in (False, True, "hits"):
+        grads[remat] = jax.jit(jax.grad(make(remat)))(params)
+    for remat in (True, "hits"):
+        for k in params:
+            assert jnp.allclose(grads[remat][k], grads[False][k],
+                                atol=1e-10), (remat, k)
+
+
+def test_fold_samples_statistically_equivalent(cornell_scene):
+    """fold_samples traces all spp as one wavefront with a different RNG
+    stream — same estimator, images agree statistically."""
+    scene, rtc = cornell_scene
+    rtc.xres, rtc.yres = 32, 18
+    cam = camera_from_rtc(rtc)
+    key = jax.random.key(1)
+    kw = dict(samples=16, max_depth=3, light_samples=2)
+    img_scan = render(scene, cam, key, **kw)
+    img_fold = render(scene, cam, key, fold_samples=True, **kw)
+    assert bool(jnp.isfinite(img_fold).all())
+    m_scan = float(jnp.mean(img_scan))
+    m_fold = float(jnp.mean(img_fold))
+    assert m_fold == pytest.approx(m_scan, rel=0.15)
+    # folded grads flow too
+    def loss(v):
+        s = dataclasses.replace(scene, mat_diffuse=scene.mat_diffuse * v)
+        return jnp.mean(render(s, cam, key, fold_samples=True,
+                               remat="hits", samples=2, max_depth=2,
+                               light_samples=1))
+    g = float(jax.grad(loss)(1.0))
+    assert np.isfinite(g) and g != 0.0
