@@ -112,9 +112,36 @@ def cfg_cornell_whitted_256_1spp():
     return r
 
 
+def _render_config_fused(rtc, xres, yres, samples, depth, light_samples,
+                         iters):
+    """The fused megakernel candidate (ops/pallas_fused.py)."""
+    import jax
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_fused import make_fused_path_renderer
+    from orion_tpu.scene import load_scene
+
+    scene, r = load_scene(f"{ASSETS}/{rtc}")
+    r.xres, r.yres = xres, yres
+    cam = camera_from_rtc(r)
+    fn = make_fused_path_renderer(scene, cam, samples=samples,
+                                  max_depth=depth,
+                                  light_samples=light_samples,
+                                  ray_block=256)
+    key = jax.random.key(0)
+    dt = _time_calls(lambda: fn(key), iters)
+    return {"backend": "fused-pallas", "seconds": round(dt, 4),
+            "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
+
+
 def cfg_cornell_path_512_16spp():
     """BASELINE config 2 (the headline): 512x512, 16 spp, depth 8 path."""
     best = None
+    try:
+        best = _render_config_fused("cornell-box.rtc", 512, 512, 16, 8, 2,
+                                    iters=5)
+    except Exception as e:  # fused gate / compile failure: fall through
+        print(f"fused candidate failed: {e!r}", flush=True)
     for regen in (True, False):
         r = _render_config("cornell-box.rtc", 512, 512, 16, 8, 2, "path",
                            iters=3, regen=regen)
@@ -139,12 +166,17 @@ def cfg_nanosuit_whitted_1024_64spp():
 
 def cfg_cornell_fhd_path_d100():
     """BASELINE config 5: cornell 1920x1080, depth 100, light samples 2.
-    Measured at 32 spp via the regenerative wavefront (spp-linear; the
-    committed flagship render used the same path at full 2048 spp) and
-    projected to the reference's 2048 spp."""
+    Measured at 32 spp (spp-linear; the committed flagship render used the
+    full 2048 spp) and projected to the reference's 2048 spp. Fused
+    megakernel first, regenerative wavefront fallback."""
     spp = 32
-    r = _render_config("cornell-box.rtc", 1920, 1080, spp, 100, 2, "path",
-                       iters=1, regen=True)
+    try:
+        r = _render_config_fused("cornell-box.rtc", 1920, 1080, spp, 100, 2,
+                                 iters=2)
+    except Exception as e:
+        print(f"fused candidate failed: {e!r}", flush=True)
+        r = _render_config("cornell-box.rtc", 1920, 1080, spp, 100, 2,
+                           "path", iters=1, regen=True)
     projected = r["seconds"] * (2048 / spp)
     r["measured_spp"] = spp
     r["projected_2048spp_seconds"] = round(projected, 1)

@@ -33,8 +33,14 @@ def measure_vpu_peak():
     import jax
     import jax.numpy as jnp
 
-    n = 4 * 1024 * 1024
-    k = 512
+    # 256 FMAs fused per element per pass (unrolled inside the loop body,
+    # so XLA emits one register-resident chain): 64 f32-flops/byte — far
+    # past the ridge, compute-bound by construction. A fori_loop of
+    # single FMAs would re-stream the array from HBM every iteration and
+    # measure bandwidth instead.
+    n = 2 * 1024 * 1024
+    unroll = 256
+    k = 8
     x = jnp.ones((n,), jnp.float32) * 1.000001
     a = jnp.float32(0.999999)
     b = jnp.float32(1e-7)
@@ -42,7 +48,9 @@ def measure_vpu_peak():
     @jax.jit
     def chain(x):
         def body(i, x):
-            return x * a + b
+            for _ in range(unroll):
+                x = x * a + b
+            return x
         return jax.lax.fori_loop(0, k, body, x)
 
     y = chain(x)
@@ -53,7 +61,7 @@ def measure_vpu_peak():
         y = chain(y)
     _ = float(jnp.sum(y))
     dt = (time.perf_counter() - t0) / iters
-    return 2.0 * n * k / dt  # FMA = 2 flops
+    return 2.0 * n * unroll * k / dt  # FMA = 2 flops
 
 
 def measure_hbm_bw():

@@ -153,7 +153,15 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     T = tab2.shape[0]
     if T <= ONE_HOT_MAX_ROWS and jnp.issubdtype(tab2.dtype, jnp.floating):
         one_hot = jax.nn.one_hot(idx, T, dtype=tab2.dtype)
-        out = jnp.dot(one_hot, tab2, preferred_element_type=tab2.dtype)
+        # HIGHEST precision is load-bearing, not a nicety: the TPU default
+        # (bf16 multiplies) truncates the table values themselves — a
+        # one-hot row-select must reproduce rows EXACTLY. Round-1 shipped
+        # without this and the recomputed hit points moved by ~0.3% of
+        # scene scale (> the 1e-3 shadow bias), self-occluding every NEE
+        # shadow ray on near-coplanar geometry: black ceilings on TPU
+        # that no CPU test could see (CPU matmuls are f32).
+        out = jnp.dot(one_hot, tab2, preferred_element_type=tab2.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     else:
         out = tab2[idx]
     return out[:, 0] if squeeze else out

@@ -1,0 +1,507 @@
+"""Pallas TPU megakernel: the ENTIRE regenerative path tracer in VMEM.
+
+The wavefront renderers (render.py, regen.py) express each bounce as a
+chain of XLA ops over [N]-sized arrays: every step reads and writes the
+whole ray state from HBM a few dozen times (state, RNG, NEE stacks,
+masks), which measurement shows dominates cornell-class scenes — the
+brute intersection kernel itself is only ~1/3 of the step. This kernel
+fuses the full sample loop — primary-ray generation, Möller-Trumbore
+sweep, emissive hit term, next-event estimation with shadow sweeps,
+Russian roulette, cosine-weighted bounce, and regeneration onto the next
+sample — into ONE kernel launch whose per-ray state never leaves VMEM.
+
+Scope (the engine gates on this): path mode, brute-force intersection
+(T <= FUSED_MAX_TRIS after padding), solid materials (no texture maps),
+one emissive mesh with <= FUSED_MAX_EMITTER_TRIS triangles. This covers
+the Cornell-class scenes of BASELINE configs 2 and 5. Everything else
+renders through the composable wavefront path.
+
+Estimator parity: identical to regen.py / render.py's path mode — the
+reference estimator of raytracer.cpp:105-194 with NEE per PARITY.md —
+but with its own counter-based RNG stream (PCG4D hashes of
+(pixel, sample, depth, site) replace threefry; images agree at the
+noise level, exactly like the sort_bounces / fold_samples variants).
+
+In-kernel RNG: PCG4D (Jarzynski & Olano, "Hash Functions for GPU
+Rendering", JCGT 2020 — public domain construction) on int32 planes with
+wrapping arithmetic; stateless, so every draw is a pure function of
+(pixel, sample, depth, site) and the image is deterministic per seed
+regardless of block scheduling. The shared sub-pixel jitter pattern
+(raytracer.cpp:53-63) falls out for free: the jitter draw hashes only
+(sample, seed), so every pixel of a sample shares one offset.
+
+Reference provenance for the estimator stages is cited inline; the
+design (lane-major [1, RB] state planes, [T_pad, RB] sweep planes,
+winner attribute select-reduce) follows the measured layout rules of
+ops/pallas_intersect.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orion_tpu.ops.intersect import MT_EPS
+from orion_tpu.scene import Scene
+
+FUSED_MAX_TRIS = 512          # single statically-unrolled sweep chunk
+FUSED_MAX_EMITTER_TRIS = 8    # unrolled select chain for light sampling
+RAY_BLOCK = 512
+BIAS = 1e-3                   # raytracer.cpp:118
+
+_BIG = np.float32(3.0e38)
+_U01 = np.float32(1.0 / 16777216.0)  # 24-bit mantissa uniform
+
+
+def _pcg4d(a, b, c, d):
+    """PCG4D hash: 4 int32 planes -> 4 well-mixed int32 planes.
+
+    Wrapping int32 arithmetic == uint32 mod 2^32 bit-for-bit; shifts are
+    logical. One call yields 4 independent 24-bit uniforms via _u01.
+    """
+    mul = jnp.int32(1664525)
+    inc = jnp.int32(1013904223)
+    a = a * mul + inc
+    b = b * mul + inc
+    c = c * mul + inc
+    d = d * mul + inc
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    a = a ^ jax.lax.shift_right_logical(a, 16)
+    b = b ^ jax.lax.shift_right_logical(b, 16)
+    c = c ^ jax.lax.shift_right_logical(c, 16)
+    d = d ^ jax.lax.shift_right_logical(d, 16)
+    a = a + b * d
+    b = b + c * a
+    c = c + a * b
+    d = d + b * c
+    return a, b, c, d
+
+
+def _u01(bits):
+    """int32 plane -> uniform [0, 1) from the low 24 bits."""
+    return (bits & jnp.int32(0xFFFFFF)).astype(jnp.float32) * _U01
+
+
+def _norm3(x, y, z, eps=1e-20):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+# triangle-table column map ([T_pad, 32] resident rows)
+_C_V0, _C_E1, _C_E2 = 0, 3, 6
+_C_N0, _C_N1, _C_N2 = 9, 12, 15
+_C_KD, _C_KE, _C_GN = 18, 21, 24
+_C_AREA, _C_MESH, _C_PC = 27, 28, 29
+
+
+def pack_fused_tri_table(scene: Scene) -> np.ndarray:
+    """Host-side [T_pad, 32] table: geometry + shading + emitter columns.
+
+    Padding rows are degenerate (e1 = e2 = 0 => MT det 0 => never hit).
+    """
+    T = int(scene.num_triangles)
+    T_pad = ((max(T, 8) + 7) // 8) * 8
+    tab = np.zeros((T_pad, 32), np.float32)
+
+    v0 = np.asarray(scene.tri_v0)[:T]
+    e1 = np.asarray(scene.tri_e1)[:T]
+    e2 = np.asarray(scene.tri_e2)[:T]
+    tab[:T, _C_V0:_C_V0 + 3] = v0
+    tab[:T, _C_E1:_C_E1 + 3] = e1
+    tab[:T, _C_E2:_C_E2 + 3] = e2
+    tab[:T, _C_N0:_C_N0 + 3] = np.asarray(scene.n0)[:T]
+    tab[:T, _C_N1:_C_N1 + 3] = np.asarray(scene.n1)[:T]
+    tab[:T, _C_N2:_C_N2 + 3] = np.asarray(scene.n2)[:T]
+
+    mat = np.asarray(scene.tri_mat)[:T]
+    kd = np.asarray(scene.mat_diffuse)[mat]
+    ke = np.asarray(scene.mat_emissive)[mat]
+    tab[:T, _C_KD:_C_KD + 3] = kd
+    tab[:T, _C_KE:_C_KE + 3] = ke
+    gn = np.cross(e1, e2)
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    tab[:T, _C_GN:_C_GN + 3] = gn
+    tab[:T, _C_AREA] = np.asarray(scene.mesh_area)[mat]
+    tab[:T, _C_MESH] = mat.astype(np.float32)
+    tab[:T, _C_PC] = kd.max(axis=1)
+    return tab
+
+
+def _emitter_consts(scene: Scene):
+    """Python constants for the (single) emissive mesh's triangles."""
+    em = int(np.asarray(scene.emissive_mesh_ids)[0])
+    start = int(np.asarray(scene.mesh_tri_start)[em])
+    count = int(np.asarray(scene.mesh_tri_count)[em])
+    v0 = np.asarray(scene.tri_v0)[start:start + count]
+    e1 = np.asarray(scene.tri_e1)[start:start + count]
+    e2 = np.asarray(scene.tri_e2)[start:start + count]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    # sample weight == triArea * triCount (mesh.hpp:178-184 importance
+    # bias, shade.sample_mesh_point parity)
+    weight = area * count
+    return em, count, v0, e1, e2, weight
+
+
+def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
+                 light_samples: int, emitter, n_pix: int):
+    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight = emitter
+
+    def kernel(cam_ref, seed_ref, tri_ref, out_ref):
+        rb = out_ref.shape[1]
+        seed = seed_ref[0]
+
+        def cam(i):
+            return cam_ref[i]
+
+        row_f = jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0)
+
+        def col(c):
+            return tri_ref[:, c:c + 1]                     # [T_pad, 1]
+
+        def cols3(c):
+            return col(c), col(c + 1), col(c + 2)
+
+        def mt_planes(o, d):
+            """Full MT: (t_masked, u, v) [T_pad, RB] planes."""
+            v0x, v0y, v0z = cols3(_C_V0)
+            e1x, e1y, e1z = cols3(_C_E1)
+            e2x, e2y, e2z = cols3(_C_E2)
+            ox, oy, oz = o
+            dx, dy, dz = d
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / det
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
+                & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+            return jnp.where(ok, t, _BIG), u, v
+
+        def sweep(o, d, attr_cols):
+            """Nearest hit + winner attributes.
+
+            Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
+            """
+            t, u, v = mt_planes(o, d)
+            t_min = jnp.min(t, axis=0, keepdims=True)
+            hit = t_min < _BIG
+            row_min = jnp.min(jnp.where(t == t_min, row_f, jnp.int32(2**30)),
+                              axis=0, keepdims=True)
+            sel = row_f == row_min                         # [T_pad, RB]
+
+            def pick_plane(p):
+                return jnp.sum(jnp.where(sel, p, 0.0), axis=0, keepdims=True)
+
+            got = {c: pick_plane(jnp.broadcast_to(col(c), t.shape))
+                   for c in attr_cols}
+            return t_min, hit, pick_plane(u), pick_plane(v), got
+
+        def interp_n(u, v, got, c0, c1, c2):
+            w = 1.0 - u - v
+            out = []
+            for k in range(3):
+                out.append(w * got[c0 + k] + u * got[c1 + k]
+                           + v * got[c2 + k])
+            return _norm3(*out)
+
+        pix0 = pl.program_id(0) * rb
+        pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
+               + pix0)                                     # [1, RB]
+        pix_f = pix.astype(jnp.float32)
+        in_image = pix < n_pix
+
+        inv_w = np.float32(1.0 / W)
+        inv_h = np.float32(1.0 / H)
+        px_sz = np.float32(2.0 / W)
+        py_sz = np.float32(2.0 / H)
+
+        def primary(samp):
+            """Camera ray for per-lane sample index `samp` (shared jitter:
+            the draw hashes only (sample, seed), raytracer.cpp:53-63)."""
+            jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
+                                    jnp.full_like(samp, 0x4A17),
+                                    jnp.full_like(samp, 0x7E57))
+            jx = _u01(jb0) * px_sz
+            jy = _u01(jb1) * py_sz
+            # row index: floor((pix + 0.5)/W) is exact under f32 rounding
+            # for any W (pix*(1/W) alone mis-rows multiples of W when 1/W
+            # is inexact, e.g. W=1920)
+            i = jnp.floor((pix_f + 0.5) * inv_w)          # image row
+            j = pix_f - i * np.float32(W)                 # image column
+            x = 2.0 * (j * inv_w) - 1.0 + jx
+            y = -(2.0 * (i * inv_h) - 1.0 + jy)
+            dx = cam(3) + x * cam(6) + y * cam(9)
+            dy = cam(4) + x * cam(7) + y * cam(10)
+            dz = cam(5) + x * cam(8) + y * cam(11)
+            ox = jnp.broadcast_to(cam(0), x.shape)
+            oy = jnp.broadcast_to(cam(1), x.shape)
+            oz = jnp.broadcast_to(cam(2), x.shape)
+            return ox, oy, oz, dx, dy, dz
+
+        S = jnp.int32(samples)
+
+        def body(carry):
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+             ar, ag, ab, depth, samp) = carry
+
+            t, hit, u, v, got = sweep(
+                (ox, oy, oz), (dx, dy, dz),
+                tuple(range(_C_N0, _C_N0 + 9))
+                + tuple(range(_C_KD, _C_PC + 1)))
+            hitf = hit.astype(jnp.float32)
+
+            # hit point + normals
+            hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+            snx, sny, snz = interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
+            gnx, gny, gnz = got[_C_GN], got[_C_GN + 1], got[_C_GN + 2]
+
+            kdr, kdg, kdb = got[_C_KD], got[_C_KD + 1], got[_C_KD + 2]
+
+            # depth-0 emissive term: Ke * meshArea * dot(norm(d), -s_n)
+            # (raytracer.cpp:127-128)
+            ndx, ndy, ndz = _norm3(dx, dy, dz)
+            cosv = -(ndx * snx + ndy * sny + ndz * snz)
+            em_scale = jnp.where((depth == 0) & hit,
+                                 got[_C_AREA] * cosv, 0.0)
+            rr_ = got[_C_KE] * em_scale
+            rg_ = got[_C_KE + 1] * em_scale
+            rb_ = got[_C_KE + 2] * em_scale
+
+            # NEE against the emissive mesh (raytracer.cpp:133-159):
+            # one shadow sweep per light sample; contribution iff the
+            # NEAREST shadow hit lands on the emitter mesh
+            sox = hx + BIAS * gnx
+            soy = hy + BIAS * gny
+            soz = hz + BIAS * gnz
+            inv_ls = np.float32(1.0 / light_samples)
+            for ls in range(light_samples):
+                u0_, u1_, u2_, _ = _pcg4d(
+                    pix, samp * jnp.int32(131071) + depth,
+                    jnp.full_like(pix, 0x11 + 0x101 * ls),
+                    jnp.broadcast_to(seed, pix.shape))
+                ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
+                # triangle choice: uniform by count (mesh.hpp:178-184)
+                sel_t = jnp.minimum((ut * em_count).astype(jnp.int32),
+                                    em_count - 1)
+                lv0x = jnp.zeros_like(ut)
+                lv0y, lv0z = jnp.zeros_like(ut), jnp.zeros_like(ut)
+                le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
+                le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
+                lwt = jnp.zeros_like(ut)
+                for k in range(em_count):
+                    m = (sel_t == k).astype(jnp.float32)
+                    lv0x += m * np.float32(em_v0[k, 0])
+                    lv0y += m * np.float32(em_v0[k, 1])
+                    lv0z += m * np.float32(em_v0[k, 2])
+                    le1x += m * np.float32(em_e1[k, 0])
+                    le1y += m * np.float32(em_e1[k, 1])
+                    le1z += m * np.float32(em_e1[k, 2])
+                    le2x += m * np.float32(em_e2[k, 0])
+                    le2y += m * np.float32(em_e2[k, 1])
+                    le2z += m * np.float32(em_e2[k, 2])
+                    lwt += m * np.float32(em_weight[k])
+                # parallelogram fold (geometry.hpp:159-171)
+                flip = (ua + ub) > 1.0
+                a = jnp.where(flip, 1.0 - ua, ua)
+                b = jnp.where(flip, 1.0 - ub, ub)
+                tx_ = lv0x + a * le1x + b * le2x
+                ty_ = lv0y + a * le1y + b * le2y
+                tz_ = lv0z + a * le1z + b * le2z
+
+                sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
+                st, s_hit, su, sv, s_got = sweep(
+                    (sox, soy, soz), (sdx, sdy, sdz),
+                    tuple(range(_C_N0, _C_N0 + 9))
+                    + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
+                visible = (s_hit & hit
+                           & (s_got[_C_MESH] == np.float32(em_mesh)))
+                lnx, lny, lnz = interp_n(su, sv, s_got,
+                                         _C_N0, _C_N1, _C_N2)
+                # brdf_eval (material.hpp:95-105): two-cosine geometry
+                # term, 1/(1+d^2) falloff, weight = triArea*triCount
+                tlx, tly, tlz = tx_ - hx, ty_ - hy, tz_ - hz
+                d2 = tlx * tlx + tly * tly + tlz * tlz
+                ldx, ldy, ldz = _norm3(tlx, tly, tlz)
+                cos_s = snx * ldx + sny * ldy + snz * ldz
+                cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+                geom = jnp.maximum(cos_s * cos_l, 0.0)
+                scale = jnp.where(visible,
+                                  geom * lwt / (1.0 + d2) * inv_ls, 0.0)
+                rr_ += s_got[_C_KE] * kdr * scale
+                rg_ += s_got[_C_KE + 1] * kdg * scale
+                rb_ += s_got[_C_KE + 2] * kdb * scale
+
+            ar += tr * rr_ * hitf
+            ag += tg * rg_ * hitf
+            ab += tb * rb_ * hitf
+
+            # Russian roulette + cosine bounce (raytracer.cpp:161-194)
+            b0, b1, b2, _ = _pcg4d(pix,
+                                   samp * jnp.int32(131071) + depth,
+                                   jnp.full_like(pix, 0x5EED),
+                                   jnp.broadcast_to(seed, pix.shape))
+            p_cont = got[_C_PC]
+            cont = hit & (depth < max_depth) & (_u01(b0) <= p_cont) \
+                & (samp < S)
+            inv_p = jnp.where(p_cont > 0.0, 1.0 / jnp.maximum(p_cont, 1e-20),
+                              0.0)
+
+            u1 = _u01(b1)
+            sin_th = jnp.sqrt(u1)
+            cos_th = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+            psi = _u01(b2) * np.float32(2.0 * np.pi)
+            # tangent frame: cross(n,(0,1,0)), fallback cross(n,(0,0,1))
+            # (raytracer.cpp:173-192; normalized per PARITY)
+            t1x, t1y, t1z = snz, jnp.zeros_like(snz), -snx
+            deg = (t1x * t1x + t1z * t1z) == 0.0
+            t1x = jnp.where(deg, -sny, t1x)
+            t1y = jnp.where(deg, snx, t1y)
+            t1x, t1y, t1z = _norm3(t1x, t1y, t1z)
+            btx = sny * t1z - snz * t1y
+            bty = snz * t1x - snx * t1z
+            btz = snx * t1y - sny * t1x
+            ca = sin_th * jnp.cos(psi)
+            cb = sin_th * jnp.sin(psi)
+            bdx = ca * t1x + cb * btx + cos_th * snx
+            bdy = ca * t1y + cb * bty + cos_th * sny
+            bdz = ca * t1z + cb * btz + cos_th * snz
+
+            contf = cont.astype(jnp.float32)
+            # continue: advance the bounce
+            n_ox = hx + snx * BIAS
+            n_oy = hy + sny * BIAS
+            n_oz = hz + snz * BIAS
+            n_tr = tr * kdr * inv_p
+            n_tg = tg * kdg * inv_p
+            n_tb = tb * kdb * inv_p
+
+            # terminate: regenerate as the next sample (regen.py)
+            n_samp = jnp.where(cont, samp, samp + 1)
+            lane_on = n_samp < S
+            p_ox, p_oy, p_oz, p_dx, p_dy, p_dz = primary(n_samp)
+
+            onf = lane_on.astype(jnp.float32)
+            ox = jnp.where(cont, n_ox, p_ox)
+            oy = jnp.where(cont, n_oy, p_oy)
+            oz = jnp.where(cont, n_oz, p_oz)
+            dx = jnp.where(cont, bdx, p_dx)
+            dy = jnp.where(cont, bdy, p_dy)
+            dz = jnp.where(cont, bdz, p_dz)
+            tr = jnp.where(cont, n_tr, onf)
+            tg = jnp.where(cont, n_tg, onf)
+            tb = jnp.where(cont, n_tb, onf)
+            depth = jnp.where(cont, depth + 1, 0)
+            return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                    ar, ag, ab, depth, n_samp)
+
+        def cond(carry):
+            samp = carry[13]
+            return jnp.any(samp < S)
+
+        samp0 = jnp.where(in_image, 0, S)                  # padding: done
+        ox, oy, oz, dx, dy, dz = primary(samp0)
+        onf0 = (samp0 < S).astype(jnp.float32)
+        zeros = jnp.zeros((1, rb), jnp.float32)
+        carry = (ox, oy, oz, dx, dy, dz, onf0, onf0, onf0,
+                 zeros, zeros, zeros,
+                 jnp.zeros((1, rb), jnp.int32), samp0)
+        carry = jax.lax.while_loop(cond, body, carry)
+        inv_s = np.float32(1.0 / samples)
+        out_ref[0:1, :] = carry[9] * inv_s
+        out_ref[1:2, :] = carry[10] * inv_s
+        out_ref[2:3, :] = carry[11] * inv_s
+        out_ref[3:8, :] = jnp.zeros((5, rb), jnp.float32)
+
+    return kernel
+
+
+def fused_path_supported(scene: Scene) -> bool:
+    """Engine gate: untextured, single small emissive mesh, small T."""
+    T_pad = ((int(scene.num_triangles) + 7) // 8) * 8
+    if T_pad > FUSED_MAX_TRIS or scene.num_emissive != 1:
+        return False
+    if int(np.asarray(scene.tex_hw).max()) > 1:
+        return False
+    em = int(np.asarray(scene.emissive_mesh_ids)[0])
+    if int(np.asarray(scene.mesh_tri_count)[em]) > FUSED_MAX_EMITTER_TRIS:
+        return False
+    maps = np.concatenate([np.asarray(scene.mat_map_diffuse),
+                           np.asarray(scene.mat_map_specular),
+                           np.asarray(scene.mat_map_bump)])
+    return bool((maps < 0).all())
+
+
+def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
+                             max_depth: int, light_samples: int = 2,
+                             ray_block: int = RAY_BLOCK,
+                             interpret: bool | None = None):
+    """Build `fn(key) -> [H, W, 3]` rendering the scene with the megakernel.
+
+    The scene/camera geometry is baked at build time (emitter triangles
+    become kernel constants); `key` seeds the in-kernel PCG stream, so
+    repeated calls with different keys give independent estimators.
+    """
+    if not fused_path_supported(scene):
+        raise ValueError("scene outside the fused-path gate "
+                         "(textures / emitters / size)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    n_pad = ((max(n_pix, ray_block) + ray_block - 1)
+             // ray_block) * ray_block
+
+    tri_tab = jnp.asarray(pack_fused_tri_table(scene))
+    T_pad = tri_tab.shape[0]
+    emitter = _emitter_consts(scene)
+
+    kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
+                          emitter, n_pix)
+
+    cam_vec = jnp.concatenate([
+        jnp.asarray(camera.origin, jnp.float32),
+        jnp.asarray(camera.front, jnp.float32),
+        jnp.asarray(camera.right, jnp.float32),
+        jnp.asarray(camera.up, jnp.float32)])
+
+    grid = (n_pad // ray_block,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def render_fused(key) -> jax.Array:
+        seed = jax.random.key_data(jax.random.fold_in(key, 0x0F05ED))
+        seed = seed.reshape(-1)[-1:].astype(jnp.int32)     # [1] scalar
+        out = call(cam_vec, seed, tri_tab)
+        return out[0:3, :n_pix].T.reshape(H, W, 3)
+
+    return render_fused
