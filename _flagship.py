@@ -1,14 +1,23 @@
 """Full reference-README cornell render: 1920x1080, 2048 spp, depth 100,
-light samples 2 — the config the reference finished in 5126.4 s."""
-import time, json
-import numpy as np
-import jax, jax.numpy as jnp
-from orion_tpu.engine import prepare
-from orion_tpu.regen import render_regen
-from orion_tpu.io.image import save_image
-from orion_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+light samples 2 — the config the reference finished in 5126.4 s
+(README.md:40-46). Renders with the fused megakernel in 256-spp chunks
+(independent PCG streams per chunk, checkpointed between chunks);
+falls back to the regenerative wavefront if the scene leaves the
+fused gate."""
+import json
+import time
 
-CHUNK = 64
+import numpy as np
+import jax
+
+from orion_tpu.engine import prepare
+from orion_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from orion_tpu.io.image import save_image
+from orion_tpu.ops.pallas_fused import (fused_path_supported,
+                                        make_fused_path_renderer)
+from orion_tpu.regen import render_regen
+
+CHUNK = 256
 TOTAL = 2048
 ps = prepare("/root/reference/assets/cornell-box.rtc")
 key = jax.random.key(0)
@@ -20,12 +29,22 @@ if ck is not None and np.array_equal(ck[2], key_data):
     acc, done = np.asarray(ck[0], np.float32), ck[1]
     print(f"resuming at {done} spp", flush=True)
 
+use_fused = fused_path_supported(ps.scene)
+if use_fused:
+    fused = make_fused_path_renderer(ps.scene, ps.camera, samples=CHUNK,
+                                     max_depth=100, light_samples=2,
+                                     ray_block=256)
+
 t0 = time.perf_counter()
 while done < TOTAL:
     ck_t = time.perf_counter()
-    img = render_regen(ps.scene, ps.camera, jax.random.fold_in(key, done),
-                       samples=CHUNK, max_depth=100, light_samples=2,
-                       intersect=ps.intersect)
+    k = jax.random.fold_in(key, done)
+    if use_fused:
+        img = fused(k)
+    else:
+        img = render_regen(ps.scene, ps.camera, k, samples=CHUNK,
+                           max_depth=100, light_samples=2,
+                           intersect=ps.intersect)
     acc = acc + np.asarray(img, np.float32) * CHUNK
     done += CHUNK
     save_checkpoint("/root/repo/flagship.ckpt", acc, done, key_data)
@@ -37,6 +56,7 @@ save_image("/root/repo/renders/cornell_flagship_1080p_2048spp.png", final)
 save_image("/root/repo/renders/cornell_flagship_1080p_2048spp.hdr", final)
 wall = time.perf_counter() - t0
 print(json.dumps({"config": "cornell 1920x1080 2048spp depth100 ls2",
+                  "backend": "fused-pallas" if use_fused else "regen",
                   "wall_seconds": round(wall, 1),
                   "reference_seconds": 5126.4,
                   "speedup": round(5126.4 / wall, 2)}), flush=True)

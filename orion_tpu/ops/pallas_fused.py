@@ -498,10 +498,23 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
     )
 
     @jax.jit
-    def render_fused(key) -> jax.Array:
+    def _impl(cv, seed):
+        out = call(cv, seed, tri_tab)
+        return out[0:3, :n_pix].T.reshape(H, W, 3)
+
+    def render_fused(key, camera_override=None) -> jax.Array:
+        """Render with `key`; camera_override (same resolution) lets the
+        viewer fly without recompiling — the kernel reads the camera
+        from scalar memory at run time."""
+        cv = cam_vec
+        if camera_override is not None:
+            cv = jnp.concatenate([
+                jnp.asarray(camera_override.origin, jnp.float32),
+                jnp.asarray(camera_override.front, jnp.float32),
+                jnp.asarray(camera_override.right, jnp.float32),
+                jnp.asarray(camera_override.up, jnp.float32)])
         seed = jax.random.key_data(jax.random.fold_in(key, 0x0F05ED))
         seed = seed.reshape(-1)[-1:].astype(jnp.int32)     # [1] scalar
-        out = call(cam_vec, seed, tri_tab)
-        return out[0:3, :n_pix].T.reshape(H, W, 3)
+        return _impl(cv, seed)
 
     return render_fused

@@ -118,6 +118,29 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
     rtc.xres, rtc.yres = xres, yres
     cam.apply_to_rtc(rtc)
     camera = camera_from_rtc(rtc)
+    # fused-gate path scenes preview through the megakernel: the camera
+    # rides in scalar memory, so flying never recompiles (one ~ms launch
+    # per frame — the closest thing to rviewer's 60fps GL loop the
+    # tracer itself can offer)
+    fused = getattr(ps, "_viewer_fused", None)
+    if (fused is None and ps.scene.num_lights == 0
+            and jax.default_backend() == "tpu"):
+        from orion_tpu.ops.pallas_fused import (fused_path_supported,
+                                                make_fused_path_renderer)
+
+        if fused_path_supported(ps.scene):
+            fused = make_fused_path_renderer(
+                ps.scene, camera, samples=max(samples, 1),
+                max_depth=max(int(rtc.recursion_level), 1),
+                light_samples=1, ray_block=256)
+            ps._viewer_fused = (fused, max(samples, 1))
+    if fused is not None:
+        fn, built_spp = ps._viewer_fused
+        if built_spp == max(samples, 1):
+            img = fn(jax.random.key(0), camera_override=camera)
+            save_image(out_path, np.asarray(img))
+            return ps
+        ps._viewer_fused = None  # spp changed (refine): rebuild next call
     # the BVH child order was baked for the prepare-time camera octant; a
     # fly camera that crossed into another octant would silently lose the
     # near-first traversal win — re-flatten (no-op when unchanged)
