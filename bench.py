@@ -196,8 +196,14 @@ def cfg_cornell_fwdbwd_256_4spp():
     xres = yres = 256
     samples, depth = 4, 4
     ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=xres, yres=yres)
+    # remat="hits": the measured-best backward config (hit records saved,
+    # all shading rematerialized — the backward pass never re-runs an
+    # intersection kernel). fold_samples measured SLOWER here (1.78M vs
+    # 2.12M rays/s, 2026-08-17): folding quadruples the NEE stack the
+    # backward differentiates through.
     loss = make_loss(ps.scene, ps.camera, samples=samples, max_depth=depth,
-                     light_samples=2, mode="path", intersect=ps.intersect)
+                     light_samples=2, mode="path", intersect=ps.intersect,
+                     remat="hits")
     key = jax.random.key(0)
     target = jnp.zeros((yres, xres, 3), jnp.float32)
     params = {"mat_diffuse": ps.scene.mat_diffuse,
@@ -215,6 +221,44 @@ def cfg_cornell_fwdbwd_256_4spp():
     primary = xres * yres * samples
     return {"backend": ps.backend, "seconds": round(dt, 4),
             "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
+
+
+def cfg_cornell_prb_train_256_4spp():
+    """Forward+backward via the PRB megakernel (ops/pallas_prb.py):
+    the whole MSE train step (image + mat_diffuse/mat_emissive grads)
+    is two kernel launches — forward megakernel + path-replay backprop —
+    with zero per-bounce residual traffic. Same scene/resolution/depth
+    as cornell_fwdbwd_256_4spp (the wavefront-AD counterpart, which
+    additionally differentiates geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_prb import make_fused_train_step
+    from orion_tpu.scene import load_scene
+
+    xres = yres = 256
+    samples, depth = 4, 4
+    scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
+    r.xres, r.yres = xres, yres
+    cam = camera_from_rtc(r)
+    target = jnp.zeros((yres, xres, 3), jnp.float32)
+    step = make_fused_train_step(scene, cam, target, samples=samples,
+                                 max_depth=depth, light_samples=2)
+    key = jax.random.key(0)
+
+    loss, g = step(key)
+    _ = float(loss) + float(jnp.sum(g["mat_diffuse"]))
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        loss, g = step(key)
+    _ = float(loss) + float(jnp.sum(g["mat_diffuse"]))
+    dt = (time.perf_counter() - t0) / iters
+    primary = xres * yres * samples
+    return {"backend": "fused-pallas+prb", "seconds": round(dt, 4),
+            "fwd_bwd_primary_rays_per_s": round(primary / dt, 1),
+            "params": ["mat_diffuse", "mat_emissive"]}
 
 
 def cfg_synthetic_200k_whitted_512():
@@ -262,7 +306,6 @@ def cfg_scaling_weak_1chip():
     import jax
 
     from orion_tpu.engine import prepare
-    from orion_tpu.parallel.distributed import scaling_report
     from orion_tpu.render import render
 
     key = jax.random.key(0)
@@ -279,10 +322,11 @@ def cfg_scaling_weak_1chip():
         dt = _time_calls(go, iters=3)
         if t1 is None:
             t1 = dt
-        rep = scaling_report(k * t1, dt, k)
-        rep["rays"] = res * res * 4
-        rep["seconds"] = round(dt, 4)
-        rows.append(rep)
+        # weak-scaling efficiency: per-chip throughput at k x the base
+        # batch over throughput at the base batch == (k * t1) / t_k
+        rows.append({"batch_x": k, "rays": res * res * 4,
+                     "seconds": round(dt, 4),
+                     "efficiency": round(k * t1 / dt, 4)})
     return {"backend": "brute-pallas", "weak_scaling": rows,
             "efficiency_8x": rows[-1]["efficiency"]}
 
@@ -295,6 +339,7 @@ CONFIGS = {
     "nanosuit_whitted_1024_64spp": (cfg_nanosuit_whitted_1024_64spp, 1200),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
+    "cornell_prb_train_256_4spp": (cfg_cornell_prb_train_256_4spp, 900),
     "scaling_weak_1chip": (cfg_scaling_weak_1chip, 900),
     "synthetic_200k_whitted_512": (cfg_synthetic_200k_whitted_512, 1200),
 }

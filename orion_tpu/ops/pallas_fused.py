@@ -34,10 +34,20 @@ Reference provenance for the estimator stages is cited inline; the
 design (lane-major [1, RB] state planes, [T_pad, RB] sweep planes,
 winner attribute select-reduce) follows the measured layout rules of
 ops/pallas_intersect.py.
+
+Structure note: the estimator math lives in `_make_geom` /
+`_make_primary` / `_make_nee` / `_make_regen_body` — builders over an
+abstract column accessor `col(c)`, so the SAME code runs as (a) the
+Pallas kernel body (col = ref slice), (b) the pure-jnp differentiable
+replica `fused_reference_render` (col = array slice; the gradient
+oracle for ops/pallas_prb.py), and (c) the path-replay backprop kernel
+(ops/pallas_prb.py), which replays bounces with these builders and
+accumulates parameter gradients in closed form.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -135,6 +145,38 @@ def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     return tab
 
 
+def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
+    """Differentiable (jnp) table pack: gradients flow from table columns
+    back to scene.mat_diffuse / scene.mat_emissive (the PRB oracle path
+    and anything that wants end-to-end AD through the replica)."""
+    T = int(scene.num_triangles)
+    T_pad = ((max(T, 8) + 7) // 8) * 8
+    tab = jnp.zeros((T_pad, 32), jnp.float32)
+
+    v0 = scene.tri_v0[:T]
+    e1 = scene.tri_e1[:T]
+    e2 = scene.tri_e2[:T]
+    tab = tab.at[:T, _C_V0:_C_V0 + 3].set(v0)
+    tab = tab.at[:T, _C_E1:_C_E1 + 3].set(e1)
+    tab = tab.at[:T, _C_E2:_C_E2 + 3].set(e2)
+    tab = tab.at[:T, _C_N0:_C_N0 + 3].set(scene.n0[:T])
+    tab = tab.at[:T, _C_N1:_C_N1 + 3].set(scene.n1[:T])
+    tab = tab.at[:T, _C_N2:_C_N2 + 3].set(scene.n2[:T])
+
+    mat = scene.tri_mat[:T]
+    kd = scene.mat_diffuse[mat]
+    ke = scene.mat_emissive[mat]
+    tab = tab.at[:T, _C_KD:_C_KD + 3].set(kd)
+    tab = tab.at[:T, _C_KE:_C_KE + 3].set(ke)
+    gn = jnp.cross(e1, e2)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    tab = tab.at[:T, _C_GN:_C_GN + 3].set(gn)
+    tab = tab.at[:T, _C_AREA].set(scene.mesh_area[mat])
+    tab = tab.at[:T, _C_MESH].set(mat.astype(jnp.float32))
+    tab = tab.at[:T, _C_PC].set(jnp.max(kd, axis=1))
+    return tab
+
+
 def _emitter_consts(scene: Scene):
     """Python constants for the (single) emissive mesh's triangles."""
     em = int(np.asarray(scene.emissive_mesh_ids)[0])
@@ -150,10 +192,336 @@ def _emitter_consts(scene: Scene):
     return em, count, v0, e1, e2, weight
 
 
+# ---------------------------------------------------------------------------
+# shared estimator builders (kernel body == jnp replica == PRB replay)
+# ---------------------------------------------------------------------------
+
+def _make_geom(col, T_pad):
+    """Geometry sweeps over the triangle table via the accessor `col(c)`
+    ([T_pad, 1] column). Returns (mt_planes, sweep, interp_n)."""
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0)
+
+    def cols3(c):
+        return col(c), col(c + 1), col(c + 2)
+
+    def mt_planes(o, d):
+        """Full MT: (t_masked, u, v) [T_pad, RB] planes."""
+        v0x, v0y, v0z = cols3(_C_V0)
+        e1x, e1y, e1z = cols3(_C_E1)
+        e2x, e2y, e2z = cols3(_C_E2)
+        ox, oy, oz = o
+        dx, dy, dz = d
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / det
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
+            & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        return jnp.where(ok, t, _BIG), u, v
+
+    def sweep(o, d, attr_cols):
+        """Nearest hit + winner attributes.
+
+        Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
+        """
+        t, u, v = mt_planes(o, d)
+        t_min = jnp.min(t, axis=0, keepdims=True)
+        hit = t_min < _BIG
+        row_min = jnp.min(jnp.where(t == t_min, row_f, jnp.int32(2**30)),
+                          axis=0, keepdims=True)
+        sel = row_f == row_min                         # [T_pad, RB]
+
+        def pick_plane(p):
+            return jnp.sum(jnp.where(sel, p, 0.0), axis=0, keepdims=True)
+
+        got = {c: pick_plane(jnp.broadcast_to(col(c), t.shape))
+               for c in attr_cols}
+        return t_min, hit, pick_plane(u), pick_plane(v), got
+
+    return mt_planes, sweep
+
+
+def _interp_n(u, v, got, c0, c1, c2):
+    w = 1.0 - u - v
+    out = []
+    for k in range(3):
+        out.append(w * got[c0 + k] + u * got[c1 + k]
+                   + v * got[c2 + k])
+    return _norm3(*out)
+
+
+def _make_primary(cam, seed, pix, W, H):
+    """Camera-ray generator for per-lane sample index `samp` (shared
+    jitter: the draw hashes only (sample, seed), raytracer.cpp:53-63).
+    `cam(i)` is a scalar accessor over the 12-float camera vector."""
+    pix_f = pix.astype(jnp.float32)
+    inv_w = np.float32(1.0 / W)
+    inv_h = np.float32(1.0 / H)
+    px_sz = np.float32(2.0 / W)
+    py_sz = np.float32(2.0 / H)
+
+    def primary(samp):
+        jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
+                                jnp.full_like(samp, 0x4A17),
+                                jnp.full_like(samp, 0x7E57))
+        jx = _u01(jb0) * px_sz
+        jy = _u01(jb1) * py_sz
+        # row index: floor((pix + 0.5)/W) is exact under f32 rounding
+        # for any W (pix*(1/W) alone mis-rows multiples of W when 1/W
+        # is inexact, e.g. W=1920)
+        i = jnp.floor((pix_f + 0.5) * inv_w)          # image row
+        j = pix_f - i * np.float32(W)                 # image column
+        x = 2.0 * (j * inv_w) - 1.0 + jx
+        y = -(2.0 * (i * inv_h) - 1.0 + jy)
+        dx = cam(3) + x * cam(6) + y * cam(9)
+        dy = cam(4) + x * cam(7) + y * cam(10)
+        dz = cam(5) + x * cam(8) + y * cam(11)
+        ox = jnp.broadcast_to(cam(0), x.shape)
+        oy = jnp.broadcast_to(cam(1), x.shape)
+        oz = jnp.broadcast_to(cam(2), x.shape)
+        return ox, oy, oz, dx, dy, dz
+
+    return primary
+
+
+def _make_nee(sweep, emitter, seed, pix, light_samples):
+    """NEE against the emissive mesh (raytracer.cpp:133-159): one shadow
+    sweep per light sample; contribution iff the NEAREST shadow hit lands
+    on the emitter mesh.
+
+    Returns nee(samp, depth, h, gn, sn, hit) -> (A3, sum_scale):
+      A_ch      = sum_ls ske_ch * scale_ls   (NEE radiance sans the
+                  surface kd factor: r_nee_ch = kd_ch * A_ch)
+      sum_scale = sum_ls scale_ls            (d r_nee_ch / d ske_ch — the
+                  PRB kernel's mat_emissive adjoint at the emitter)
+    """
+    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight = emitter
+    inv_ls = np.float32(1.0 / light_samples)
+
+    def nee(samp, depth, h, gn, sn, hit):
+        hx, hy, hz = h
+        gnx, gny, gnz = gn
+        snx, sny, snz = sn
+        sox = hx + BIAS * gnx
+        soy = hy + BIAS * gny
+        soz = hz + BIAS * gnz
+        A = [jnp.zeros_like(hx) for _ in range(3)]
+        sum_scale = jnp.zeros_like(hx)
+        for ls in range(light_samples):
+            u0_, u1_, u2_, _ = _pcg4d(
+                pix, samp * jnp.int32(131071) + depth,
+                jnp.full_like(pix, 0x11 + 0x101 * ls),
+                jnp.broadcast_to(seed, pix.shape))
+            ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
+            # triangle choice: uniform by count (mesh.hpp:178-184)
+            sel_t = jnp.minimum((ut * em_count).astype(jnp.int32),
+                                em_count - 1)
+            lv0x = jnp.zeros_like(ut)
+            lv0y, lv0z = jnp.zeros_like(ut), jnp.zeros_like(ut)
+            le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
+            le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
+            lwt = jnp.zeros_like(ut)
+            for k in range(em_count):
+                m = (sel_t == k).astype(jnp.float32)
+                lv0x += m * np.float32(em_v0[k, 0])
+                lv0y += m * np.float32(em_v0[k, 1])
+                lv0z += m * np.float32(em_v0[k, 2])
+                le1x += m * np.float32(em_e1[k, 0])
+                le1y += m * np.float32(em_e1[k, 1])
+                le1z += m * np.float32(em_e1[k, 2])
+                le2x += m * np.float32(em_e2[k, 0])
+                le2y += m * np.float32(em_e2[k, 1])
+                le2z += m * np.float32(em_e2[k, 2])
+                lwt += m * np.float32(em_weight[k])
+            # parallelogram fold (geometry.hpp:159-171)
+            flip = (ua + ub) > 1.0
+            a = jnp.where(flip, 1.0 - ua, ua)
+            b = jnp.where(flip, 1.0 - ub, ub)
+            tx_ = lv0x + a * le1x + b * le2x
+            ty_ = lv0y + a * le1y + b * le2y
+            tz_ = lv0z + a * le1z + b * le2z
+
+            sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
+            st, s_hit, su, sv, s_got = sweep(
+                (sox, soy, soz), (sdx, sdy, sdz),
+                tuple(range(_C_N0, _C_N0 + 9))
+                + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
+            visible = (s_hit & hit
+                       & (s_got[_C_MESH] == np.float32(em_mesh)))
+            lnx, lny, lnz = _interp_n(su, sv, s_got,
+                                      _C_N0, _C_N1, _C_N2)
+            # brdf_eval (material.hpp:95-105): two-cosine geometry
+            # term, 1/(1+d^2) falloff, weight = triArea*triCount
+            d2 = sdx * sdx + sdy * sdy + sdz * sdz
+            ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
+            cos_s = snx * ldx + sny * ldy + snz * ldz
+            cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+            geom = jnp.maximum(cos_s * cos_l, 0.0)
+            scale = jnp.where(visible,
+                              geom * lwt / (1.0 + d2) * inv_ls, 0.0)
+            A[0] += s_got[_C_KE] * scale
+            A[1] += s_got[_C_KE + 1] * scale
+            A[2] += s_got[_C_KE + 2] * scale
+            sum_scale += scale
+        return A, sum_scale
+
+    return nee
+
+
+def _rr_bounce_draws(seed, pix, samp, depth):
+    """The bounce-site RNG draws (shared by forward and PRB replay)."""
+    b0, b1, b2, _ = _pcg4d(pix,
+                           samp * jnp.int32(131071) + depth,
+                           jnp.full_like(pix, 0x5EED),
+                           jnp.broadcast_to(seed, pix.shape))
+    return _u01(b0), _u01(b1), _u01(b2)
+
+
+def _cosine_bounce(sn, u1, psi01):
+    """Cosine-weighted hemisphere sample about sn; tangent frame from
+    cross(n,(0,1,0)) with cross(n,(0,0,1)) fallback
+    (raytracer.cpp:173-192; normalized per PARITY)."""
+    snx, sny, snz = sn
+    sin_th = jnp.sqrt(u1)
+    cos_th = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    psi = psi01 * np.float32(2.0 * np.pi)
+    t1x, t1y, t1z = snz, jnp.zeros_like(snz), -snx
+    deg = (t1x * t1x + t1z * t1z) == 0.0
+    t1x = jnp.where(deg, -sny, t1x)
+    t1y = jnp.where(deg, snx, t1y)
+    t1x, t1y, t1z = _norm3(t1x, t1y, t1z)
+    btx = sny * t1z - snz * t1y
+    bty = snz * t1x - snx * t1z
+    btz = snx * t1y - sny * t1x
+    ca = sin_th * jnp.cos(psi)
+    cb = sin_th * jnp.sin(psi)
+    bdx = ca * t1x + cb * btx + cos_th * snx
+    bdy = ca * t1y + cb * bty + cos_th * sny
+    bdz = ca * t1z + cb * btz + cos_th * snz
+    return bdx, bdy, bdz
+
+
+# winner attribute columns each bounce reads
+_BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
+                 + tuple(range(_C_KD, _C_PC + 1)))
+
+
+def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
+                     max_depth, light_samples, emitter):
+    """The regenerative estimator step shared by the Pallas kernel and the
+    jnp replica: carry -> carry. Terminated lanes regenerate as their next
+    sample; lanes past `samples` idle with zero throughput (the body is a
+    no-op for them, so running it a fixed S*(max_depth+1) times equals
+    running the while_loop to quiescence — which is how the replica stays
+    reverse-differentiable)."""
+    _, sweep = _make_geom(col, T_pad)
+    primary = _make_primary(cam, seed, pix, W, H)
+    nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+    S = jnp.int32(samples)
+
+    def body(carry):
+        (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+         ar, ag, ab, depth, samp) = carry
+
+        t, hit, u, v, got = sweep((ox, oy, oz), (dx, dy, dz),
+                                  _BOUNCE_ATTRS)
+        hitf = hit.astype(jnp.float32)
+
+        # hit point + normals
+        hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+        snx, sny, snz = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
+        gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+
+        kdr, kdg, kdb = got[_C_KD], got[_C_KD + 1], got[_C_KD + 2]
+
+        # depth-0 emissive term: Ke * meshArea * dot(norm(d), -s_n)
+        # (raytracer.cpp:127-128)
+        ndx, ndy, ndz = _norm3(dx, dy, dz)
+        cosv = -(ndx * snx + ndy * sny + ndz * snz)
+        em_scale = jnp.where((depth == 0) & hit,
+                             got[_C_AREA] * cosv, 0.0)
+        rr_ = got[_C_KE] * em_scale
+        rg_ = got[_C_KE + 1] * em_scale
+        rb_ = got[_C_KE + 2] * em_scale
+
+        A, _ = nee(samp, depth, (hx, hy, hz), gn,
+                   (snx, sny, snz), hit)
+        rr_ += kdr * A[0]
+        rg_ += kdg * A[1]
+        rb_ += kdb * A[2]
+
+        ar += tr * rr_ * hitf
+        ag += tg * rg_ * hitf
+        ab += tb * rb_ * hitf
+
+        # Russian roulette + cosine bounce (raytracer.cpp:161-194)
+        u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
+        p_cont = got[_C_PC]
+        cont = hit & (depth < max_depth) & (u_rr <= p_cont) \
+            & (samp < S)
+        # double-where so the dead branch has a FINITE Jacobian: the VJP
+        # of 1/max(p, 1e-20) at p == 0 is -1e40 (f32 overflow -> -inf),
+        # and 0-cotangent * -inf = NaN poisons reverse-mode AD through
+        # the replica (render.py:186-189 uses the same idiom)
+        safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)
+        inv_p = jnp.where(p_cont > 0.0, 1.0 / safe_p, 0.0)
+
+        bdx, bdy, bdz = _cosine_bounce((snx, sny, snz), u1, u2)
+
+        # continue: advance the bounce
+        n_ox = hx + snx * BIAS
+        n_oy = hy + sny * BIAS
+        n_oz = hz + snz * BIAS
+        n_tr = tr * kdr * inv_p
+        n_tg = tg * kdg * inv_p
+        n_tb = tb * kdb * inv_p
+
+        # terminate: regenerate as the next sample (regen.py)
+        n_samp = jnp.where(cont, samp, samp + 1)
+        lane_on = n_samp < S
+        p_ox, p_oy, p_oz, p_dx, p_dy, p_dz = primary(n_samp)
+
+        onf = lane_on.astype(jnp.float32)
+        ox = jnp.where(cont, n_ox, p_ox)
+        oy = jnp.where(cont, n_oy, p_oy)
+        oz = jnp.where(cont, n_oz, p_oz)
+        dx = jnp.where(cont, bdx, p_dx)
+        dy = jnp.where(cont, bdy, p_dy)
+        dz = jnp.where(cont, bdz, p_dz)
+        tr = jnp.where(cont, n_tr, onf)
+        tg = jnp.where(cont, n_tg, onf)
+        tb = jnp.where(cont, n_tb, onf)
+        depth = jnp.where(cont, depth + 1, 0)
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                ar, ag, ab, depth, n_samp)
+
+    def init(in_image):
+        samp0 = jnp.where(in_image, 0, S)              # padding: done
+        ox, oy, oz, dx, dy, dz = primary(samp0)
+        onf0 = (samp0 < S).astype(jnp.float32)
+        zeros = jnp.zeros_like(ox)
+        return (ox, oy, oz, dx, dy, dz, onf0, onf0, onf0,
+                zeros, zeros, zeros,
+                jnp.zeros(ox.shape, jnp.int32), samp0)
+
+    def cond(carry):
+        return jnp.any(carry[13] < S)
+
+    return body, cond, init
+
+
 def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
                  light_samples: int, emitter, n_pix: int):
-    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight = emitter
-
     def kernel(cam_ref, seed_ref, tri_ref, out_ref):
         rb = out_ref.shape[1]
         seed = seed_ref[0]
@@ -161,268 +529,18 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
         def cam(i):
             return cam_ref[i]
 
-        row_f = jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0)
-
         def col(c):
             return tri_ref[:, c:c + 1]                     # [T_pad, 1]
-
-        def cols3(c):
-            return col(c), col(c + 1), col(c + 2)
-
-        def mt_planes(o, d):
-            """Full MT: (t_masked, u, v) [T_pad, RB] planes."""
-            v0x, v0y, v0z = cols3(_C_V0)
-            e1x, e1y, e1z = cols3(_C_E1)
-            e2x, e2y, e2z = cols3(_C_E2)
-            ox, oy, oz = o
-            dx, dy, dz = d
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / det
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
-                & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-            return jnp.where(ok, t, _BIG), u, v
-
-        def sweep(o, d, attr_cols):
-            """Nearest hit + winner attributes.
-
-            Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
-            """
-            t, u, v = mt_planes(o, d)
-            t_min = jnp.min(t, axis=0, keepdims=True)
-            hit = t_min < _BIG
-            row_min = jnp.min(jnp.where(t == t_min, row_f, jnp.int32(2**30)),
-                              axis=0, keepdims=True)
-            sel = row_f == row_min                         # [T_pad, RB]
-
-            def pick_plane(p):
-                return jnp.sum(jnp.where(sel, p, 0.0), axis=0, keepdims=True)
-
-            got = {c: pick_plane(jnp.broadcast_to(col(c), t.shape))
-                   for c in attr_cols}
-            return t_min, hit, pick_plane(u), pick_plane(v), got
-
-        def interp_n(u, v, got, c0, c1, c2):
-            w = 1.0 - u - v
-            out = []
-            for k in range(3):
-                out.append(w * got[c0 + k] + u * got[c1 + k]
-                           + v * got[c2 + k])
-            return _norm3(*out)
 
         pix0 = pl.program_id(0) * rb
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
                + pix0)                                     # [1, RB]
-        pix_f = pix.astype(jnp.float32)
         in_image = pix < n_pix
 
-        inv_w = np.float32(1.0 / W)
-        inv_h = np.float32(1.0 / H)
-        px_sz = np.float32(2.0 / W)
-        py_sz = np.float32(2.0 / H)
-
-        def primary(samp):
-            """Camera ray for per-lane sample index `samp` (shared jitter:
-            the draw hashes only (sample, seed), raytracer.cpp:53-63)."""
-            jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
-                                    jnp.full_like(samp, 0x4A17),
-                                    jnp.full_like(samp, 0x7E57))
-            jx = _u01(jb0) * px_sz
-            jy = _u01(jb1) * py_sz
-            # row index: floor((pix + 0.5)/W) is exact under f32 rounding
-            # for any W (pix*(1/W) alone mis-rows multiples of W when 1/W
-            # is inexact, e.g. W=1920)
-            i = jnp.floor((pix_f + 0.5) * inv_w)          # image row
-            j = pix_f - i * np.float32(W)                 # image column
-            x = 2.0 * (j * inv_w) - 1.0 + jx
-            y = -(2.0 * (i * inv_h) - 1.0 + jy)
-            dx = cam(3) + x * cam(6) + y * cam(9)
-            dy = cam(4) + x * cam(7) + y * cam(10)
-            dz = cam(5) + x * cam(8) + y * cam(11)
-            ox = jnp.broadcast_to(cam(0), x.shape)
-            oy = jnp.broadcast_to(cam(1), x.shape)
-            oz = jnp.broadcast_to(cam(2), x.shape)
-            return ox, oy, oz, dx, dy, dz
-
-        S = jnp.int32(samples)
-
-        def body(carry):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb,
-             ar, ag, ab, depth, samp) = carry
-
-            t, hit, u, v, got = sweep(
-                (ox, oy, oz), (dx, dy, dz),
-                tuple(range(_C_N0, _C_N0 + 9))
-                + tuple(range(_C_KD, _C_PC + 1)))
-            hitf = hit.astype(jnp.float32)
-
-            # hit point + normals
-            hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
-            snx, sny, snz = interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
-            gnx, gny, gnz = got[_C_GN], got[_C_GN + 1], got[_C_GN + 2]
-
-            kdr, kdg, kdb = got[_C_KD], got[_C_KD + 1], got[_C_KD + 2]
-
-            # depth-0 emissive term: Ke * meshArea * dot(norm(d), -s_n)
-            # (raytracer.cpp:127-128)
-            ndx, ndy, ndz = _norm3(dx, dy, dz)
-            cosv = -(ndx * snx + ndy * sny + ndz * snz)
-            em_scale = jnp.where((depth == 0) & hit,
-                                 got[_C_AREA] * cosv, 0.0)
-            rr_ = got[_C_KE] * em_scale
-            rg_ = got[_C_KE + 1] * em_scale
-            rb_ = got[_C_KE + 2] * em_scale
-
-            # NEE against the emissive mesh (raytracer.cpp:133-159):
-            # one shadow sweep per light sample; contribution iff the
-            # NEAREST shadow hit lands on the emitter mesh
-            sox = hx + BIAS * gnx
-            soy = hy + BIAS * gny
-            soz = hz + BIAS * gnz
-            inv_ls = np.float32(1.0 / light_samples)
-            for ls in range(light_samples):
-                u0_, u1_, u2_, _ = _pcg4d(
-                    pix, samp * jnp.int32(131071) + depth,
-                    jnp.full_like(pix, 0x11 + 0x101 * ls),
-                    jnp.broadcast_to(seed, pix.shape))
-                ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
-                # triangle choice: uniform by count (mesh.hpp:178-184)
-                sel_t = jnp.minimum((ut * em_count).astype(jnp.int32),
-                                    em_count - 1)
-                lv0x = jnp.zeros_like(ut)
-                lv0y, lv0z = jnp.zeros_like(ut), jnp.zeros_like(ut)
-                le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
-                le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
-                lwt = jnp.zeros_like(ut)
-                for k in range(em_count):
-                    m = (sel_t == k).astype(jnp.float32)
-                    lv0x += m * np.float32(em_v0[k, 0])
-                    lv0y += m * np.float32(em_v0[k, 1])
-                    lv0z += m * np.float32(em_v0[k, 2])
-                    le1x += m * np.float32(em_e1[k, 0])
-                    le1y += m * np.float32(em_e1[k, 1])
-                    le1z += m * np.float32(em_e1[k, 2])
-                    le2x += m * np.float32(em_e2[k, 0])
-                    le2y += m * np.float32(em_e2[k, 1])
-                    le2z += m * np.float32(em_e2[k, 2])
-                    lwt += m * np.float32(em_weight[k])
-                # parallelogram fold (geometry.hpp:159-171)
-                flip = (ua + ub) > 1.0
-                a = jnp.where(flip, 1.0 - ua, ua)
-                b = jnp.where(flip, 1.0 - ub, ub)
-                tx_ = lv0x + a * le1x + b * le2x
-                ty_ = lv0y + a * le1y + b * le2y
-                tz_ = lv0z + a * le1z + b * le2z
-
-                sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
-                st, s_hit, su, sv, s_got = sweep(
-                    (sox, soy, soz), (sdx, sdy, sdz),
-                    tuple(range(_C_N0, _C_N0 + 9))
-                    + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
-                visible = (s_hit & hit
-                           & (s_got[_C_MESH] == np.float32(em_mesh)))
-                lnx, lny, lnz = interp_n(su, sv, s_got,
-                                         _C_N0, _C_N1, _C_N2)
-                # brdf_eval (material.hpp:95-105): two-cosine geometry
-                # term, 1/(1+d^2) falloff, weight = triArea*triCount
-                tlx, tly, tlz = tx_ - hx, ty_ - hy, tz_ - hz
-                d2 = tlx * tlx + tly * tly + tlz * tlz
-                ldx, ldy, ldz = _norm3(tlx, tly, tlz)
-                cos_s = snx * ldx + sny * ldy + snz * ldz
-                cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
-                geom = jnp.maximum(cos_s * cos_l, 0.0)
-                scale = jnp.where(visible,
-                                  geom * lwt / (1.0 + d2) * inv_ls, 0.0)
-                rr_ += s_got[_C_KE] * kdr * scale
-                rg_ += s_got[_C_KE + 1] * kdg * scale
-                rb_ += s_got[_C_KE + 2] * kdb * scale
-
-            ar += tr * rr_ * hitf
-            ag += tg * rg_ * hitf
-            ab += tb * rb_ * hitf
-
-            # Russian roulette + cosine bounce (raytracer.cpp:161-194)
-            b0, b1, b2, _ = _pcg4d(pix,
-                                   samp * jnp.int32(131071) + depth,
-                                   jnp.full_like(pix, 0x5EED),
-                                   jnp.broadcast_to(seed, pix.shape))
-            p_cont = got[_C_PC]
-            cont = hit & (depth < max_depth) & (_u01(b0) <= p_cont) \
-                & (samp < S)
-            inv_p = jnp.where(p_cont > 0.0, 1.0 / jnp.maximum(p_cont, 1e-20),
-                              0.0)
-
-            u1 = _u01(b1)
-            sin_th = jnp.sqrt(u1)
-            cos_th = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-            psi = _u01(b2) * np.float32(2.0 * np.pi)
-            # tangent frame: cross(n,(0,1,0)), fallback cross(n,(0,0,1))
-            # (raytracer.cpp:173-192; normalized per PARITY)
-            t1x, t1y, t1z = snz, jnp.zeros_like(snz), -snx
-            deg = (t1x * t1x + t1z * t1z) == 0.0
-            t1x = jnp.where(deg, -sny, t1x)
-            t1y = jnp.where(deg, snx, t1y)
-            t1x, t1y, t1z = _norm3(t1x, t1y, t1z)
-            btx = sny * t1z - snz * t1y
-            bty = snz * t1x - snx * t1z
-            btz = snx * t1y - sny * t1x
-            ca = sin_th * jnp.cos(psi)
-            cb = sin_th * jnp.sin(psi)
-            bdx = ca * t1x + cb * btx + cos_th * snx
-            bdy = ca * t1y + cb * bty + cos_th * sny
-            bdz = ca * t1z + cb * btz + cos_th * snz
-
-            contf = cont.astype(jnp.float32)
-            # continue: advance the bounce
-            n_ox = hx + snx * BIAS
-            n_oy = hy + sny * BIAS
-            n_oz = hz + snz * BIAS
-            n_tr = tr * kdr * inv_p
-            n_tg = tg * kdg * inv_p
-            n_tb = tb * kdb * inv_p
-
-            # terminate: regenerate as the next sample (regen.py)
-            n_samp = jnp.where(cont, samp, samp + 1)
-            lane_on = n_samp < S
-            p_ox, p_oy, p_oz, p_dx, p_dy, p_dz = primary(n_samp)
-
-            onf = lane_on.astype(jnp.float32)
-            ox = jnp.where(cont, n_ox, p_ox)
-            oy = jnp.where(cont, n_oy, p_oy)
-            oz = jnp.where(cont, n_oz, p_oz)
-            dx = jnp.where(cont, bdx, p_dx)
-            dy = jnp.where(cont, bdy, p_dy)
-            dz = jnp.where(cont, bdz, p_dz)
-            tr = jnp.where(cont, n_tr, onf)
-            tg = jnp.where(cont, n_tg, onf)
-            tb = jnp.where(cont, n_tb, onf)
-            depth = jnp.where(cont, depth + 1, 0)
-            return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                    ar, ag, ab, depth, n_samp)
-
-        def cond(carry):
-            samp = carry[13]
-            return jnp.any(samp < S)
-
-        samp0 = jnp.where(in_image, 0, S)                  # padding: done
-        ox, oy, oz, dx, dy, dz = primary(samp0)
-        onf0 = (samp0 < S).astype(jnp.float32)
-        zeros = jnp.zeros((1, rb), jnp.float32)
-        carry = (ox, oy, oz, dx, dy, dz, onf0, onf0, onf0,
-                 zeros, zeros, zeros,
-                 jnp.zeros((1, rb), jnp.int32), samp0)
-        carry = jax.lax.while_loop(cond, body, carry)
+        body, cond, init = _make_regen_body(
+            col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
+            light_samples, emitter)
+        carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
         out_ref[1:2, :] = carry[10] * inv_s
@@ -446,6 +564,22 @@ def fused_path_supported(scene: Scene) -> bool:
                            np.asarray(scene.mat_map_specular),
                            np.asarray(scene.mat_map_bump)])
     return bool((maps < 0).all())
+
+
+def camera_vec(camera) -> jax.Array:
+    """[12] float32: origin | front | right | up (the kernel's scalar
+    camera argument)."""
+    return jnp.concatenate([
+        jnp.asarray(camera.origin, jnp.float32),
+        jnp.asarray(camera.front, jnp.float32),
+        jnp.asarray(camera.right, jnp.float32),
+        jnp.asarray(camera.up, jnp.float32)])
+
+
+def seed_scalar(key) -> jax.Array:
+    """[1] int32 PCG seed derived from a jax PRNG key."""
+    seed = jax.random.key_data(jax.random.fold_in(key, 0x0F05ED))
+    return seed.reshape(-1)[-1:].astype(jnp.int32)
 
 
 def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
@@ -475,11 +609,7 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
     kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
                           emitter, n_pix)
 
-    cam_vec = jnp.concatenate([
-        jnp.asarray(camera.origin, jnp.float32),
-        jnp.asarray(camera.front, jnp.float32),
-        jnp.asarray(camera.right, jnp.float32),
-        jnp.asarray(camera.up, jnp.float32)])
+    cam_vec = camera_vec(camera)
 
     grid = (n_pad // ray_block,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -506,15 +636,53 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
         """Render with `key`; camera_override (same resolution) lets the
         viewer fly without recompiling — the kernel reads the camera
         from scalar memory at run time."""
-        cv = cam_vec
-        if camera_override is not None:
-            cv = jnp.concatenate([
-                jnp.asarray(camera_override.origin, jnp.float32),
-                jnp.asarray(camera_override.front, jnp.float32),
-                jnp.asarray(camera_override.right, jnp.float32),
-                jnp.asarray(camera_override.up, jnp.float32)])
-        seed = jax.random.key_data(jax.random.fold_in(key, 0x0F05ED))
-        seed = seed.reshape(-1)[-1:].astype(jnp.int32)     # [1] scalar
-        return _impl(cv, seed)
+        cv = cam_vec if camera_override is None else camera_vec(
+            camera_override)
+        return _impl(cv, seed_scalar(key))
 
     return render_fused
+
+
+def fused_reference_render(scene: Scene, camera, key, *, samples: int,
+                           max_depth: int, light_samples: int = 2,
+                           tab: jax.Array | None = None) -> jax.Array:
+    """Pure-jnp replica of the megakernel: bit-for-bit the same estimator
+    math (shared builders), run as a fixed-length scan over the whole
+    image at once — and therefore reverse-mode differentiable. This is
+    the gradient oracle for ops/pallas_prb.py (tests/test_prb.py): AD
+    through this function and the PRB kernel's hand-derived adjoints
+    must agree to float tolerance.
+
+    `tab` overrides the triangle table (pass pack_fused_tri_table_jnp of
+    a parameter-substituted scene to differentiate w.r.t. materials).
+    Small scenes/resolutions only — the scan stores per-step residuals.
+    """
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    if tab is None:
+        tab = pack_fused_tri_table_jnp(scene)
+    T_pad = tab.shape[0]
+    emitter = _emitter_consts(scene)
+    cv = camera_vec(camera)
+    seed = seed_scalar(key)[0]
+
+    pix = jnp.arange(n_pix, dtype=jnp.int32).reshape(1, n_pix)
+
+    def col(c):
+        return tab[:, c:c + 1]
+
+    def cam(i):
+        return cv[i]
+
+    body, _, init = _make_regen_body(col, cam, seed, pix, n_pix, T_pad,
+                                     W, H, samples, max_depth,
+                                     light_samples, emitter)
+
+    carry = init(jnp.ones((1, n_pix), bool))
+    n_steps = samples * (max_depth + 1)
+    carry, _ = jax.lax.scan(lambda c, _: (body(c), None), carry,
+                            None, length=n_steps)
+    inv_s = 1.0 / samples
+    img = jnp.stack([carry[9][0], carry[10][0], carry[11][0]],
+                    axis=-1) * inv_s
+    return img.reshape(H, W, 3)

@@ -1,0 +1,351 @@
+"""Path-replay backpropagation (PRB) megakernel: material gradients of the
+fused path tracer, computed in closed form inside ONE Pallas kernel.
+
+The wavefront trainer (optim.make_loss over render.py) gets its gradients
+from JAX reverse-mode AD: every bounce's intermediates either live in HBM
+as residuals or get rematerialized (remat="hits"). That caps fwd+bwd at a
+few M rays/s — the HBM round-trips per bounce dominate exactly as they do
+in the forward wavefront. This kernel instead computes the pixel-loss
+gradient w.r.t. the material tables (mat_diffuse, mat_emissive) the way
+the megakernel computes radiance: per-ray state resident in VMEM for the
+whole sample loop, zero residual traffic.
+
+Method — path replay backpropagation (the technique of Vicini, Speierer &
+Jakob, "Path Replay Backpropagation", SIGGRAPH 2021, re-derived here for
+this estimator): radiance decomposes as L = sum_d T_d * r_d with
+per-channel throughput T_{d+1} = T_d * kd * inv_p. Differentiating,
+
+  dL/dtheta = sum_d [ T_d * dr_d/dtheta  +  (df_d/dtheta) * U_{d+1} / f_d ]
+
+where f_d = kd * inv_p is the bounce's throughput factor and
+U_{d+1} = sum_{j>d} T_j r_j is the path's REMAINING radiance after bounce
+d. U is obtained without storing the path: pass 1 traces the sample and
+records only its total L_s; pass 2 replays the identical path (the PCG4D
+draws are pure functions of (pixel, sample, depth, site) — regeneration
+order does not enter) and maintains U by subtracting each bounce's
+contribution as it is re-encountered. Both passes accumulate in the same
+order, so U hits exactly 0.0f at termination and dead lanes contribute
+exactly zero gradient.
+
+Per-bounce closed-form adjoints (w = dLoss/d(lane radiance), per channel):
+  d kd[m_d, c]  += w_c * T_c * A_c                     (NEE: r_nee = kd*A)
+                 + w_c * U_c / kd_c                     (throughput factor)
+                 - share_c * inv_p * sum_c' w_c' U_c'   (p = max_c kd_c;
+                   share = even split over argmax ties, matching
+                   jnp.max's VJP in the jnp replica/wavefront)
+  d ke[m_d, c]  += w_c * T_c * em_scale                 (depth-0 emissive)
+  d ke[em, c]   += w_c * T_c * kd_c * sum_ls scale_ls   (NEE emitted color;
+                   the gate guarantees ONE emissive mesh, so the shadow
+                   winner's material is the static em id whenever visible)
+
+Gradients are routed to materials with an MXU one-hot contraction: the
+six per-lane gradient rows [8, RB] are contracted against the winner
+material's one-hot plane [M_LANES, RB] into an [8, M_LANES] accumulator
+(materials ride lanes), which accumulates across bounces, samples, and
+sequential grid blocks (TPU grid = one core, constant out-block mapping).
+
+Oracle: tests/test_prb.py checks these adjoints against reverse-mode AD
+of `pallas_fused.fused_reference_render` — the SAME estimator math (same
+builders, same RNG), differentiable end-to-end — so any calculus error
+here is a test failure, not noise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orion_tpu.ops.pallas_fused import (
+    _BIG, _BOUNCE_ATTRS, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_PC,
+    _C_N0, _C_N1, _C_N2, _cosine_bounce, _emitter_consts, _interp_n,
+    _make_geom, _make_nee, _make_primary, _norm3, _rr_bounce_draws,
+    BIAS, RAY_BLOCK, camera_vec, fused_path_supported,
+    pack_fused_tri_table, seed_scalar)
+from orion_tpu.scene import Scene
+
+M_LANES = 128  # materials ride accumulator lanes
+
+
+def fused_train_supported(scene: Scene) -> bool:
+    """Gate: fused-path scene with at most M_LANES materials."""
+    return fused_path_supported(scene) and scene.num_meshes <= M_LANES
+
+
+def _make_grad_kernel(T_pad: int, W: int, H: int, samples: int,
+                      max_depth: int, light_samples: int, emitter,
+                      n_pix: int):
+    em_mesh = emitter[0]
+
+    def kernel(cam_ref, seed_ref, tri_ref, w_ref, out_ref):
+        # static one-hot scatter targets for the NEE mat_emissive adjoint
+        # (built from iotas: pallas kernels cannot capture array consts)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 1)
+        em_masks = [((row_i == 3 + ch)
+                     & (col_i == em_mesh)).astype(jnp.float32)
+                    for ch in range(3)]
+        rb = w_ref.shape[1]
+        seed = seed_ref[0]
+
+        def cam(i):
+            return cam_ref[i]
+
+        def col(c):
+            return tri_ref[:, c:c + 1]
+
+        pix0 = pl.program_id(0) * rb
+        pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
+        in_image = pix < n_pix
+
+        _, sweep = _make_geom(col, T_pad)
+        primary = _make_primary(cam, seed, pix, W, H)
+        nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+
+        w3 = (w_ref[0:1, :], w_ref[1:2, :], w_ref[2:3, :])
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (M_LANES, rb), 0)
+
+        def bounce_common(o, d, T, depth, samp):
+            """Replayed bounce math shared by both passes: returns
+            (contrib3, state) where state carries everything pass 2's
+            gradient rows need."""
+            t, hit, u, v, got = sweep(o, d, _BOUNCE_ATTRS)
+            hitf = hit.astype(jnp.float32)
+            hx = o[0] + t * d[0]
+            hy = o[1] + t * d[1]
+            hz = o[2] + t * d[2]
+            sn = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
+            gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+            kd = (got[_C_KD], got[_C_KD + 1], got[_C_KD + 2])
+
+            ndx, ndy, ndz = _norm3(*d)
+            cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
+            em_scale = jnp.where((depth == 0) & hit,
+                                 got[_C_AREA] * cosv, 0.0)
+            A, sum_scale = nee(samp, depth, (hx, hy, hz), gn, sn, hit)
+            r = tuple(got[_C_KE + c] * em_scale + kd[c] * A[c]
+                      for c in range(3))
+            contrib = tuple(T[c] * r[c] * hitf for c in range(3))
+
+            u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
+            p_cont = got[_C_PC]
+            cont = hit & (depth < max_depth) & (u_rr <= p_cont)
+            safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)
+            inv_p = jnp.where(p_cont > 0.0, 1.0 / safe_p, 0.0)
+            bd = _cosine_bounce(sn, u1, u2)
+            no = (hx + sn[0] * BIAS, hy + sn[1] * BIAS, hz + sn[2] * BIAS)
+            state = dict(kd=kd, p=p_cont, inv_p=inv_p, A=A,
+                         em_scale=em_scale, sum_scale=sum_scale,
+                         mat=got[_C_MESH], cont=cont, bd=bd, no=no,
+                         contrib=contrib)
+            return state
+
+        def advance(carry_o, carry_d, T, alive, st):
+            # alive rides the carry as f32 (Mosaic cannot yield i1
+            # vectors from loop regions); AND with the previous alive so
+            # a retired lane's frozen ray cannot re-vote `cont` and keep
+            # the block looping (its T/U are 0, so it contributes nothing
+            # either way — this is purely loop-exit hygiene)
+            cont = st["cont"]
+            o = tuple(jnp.where(cont, st["no"][c], carry_o[c])
+                      for c in range(3))
+            d = tuple(jnp.where(cont, st["bd"][c], carry_d[c])
+                      for c in range(3))
+            T = tuple(jnp.where(cont, T[c] * st["kd"][c] * st["inv_p"],
+                                0.0) for c in range(3))
+            return o, d, T, alive * cont.astype(jnp.float32)
+
+        def sample_grads(s, acc):
+            samp = jnp.broadcast_to(jnp.int32(s), (1, rb))
+            o0 = primary(samp)
+            o_init = o0[0:3]
+            d_init = o0[3:6]
+            onf0 = in_image.astype(jnp.float32)
+            T0 = (onf0, onf0, onf0)
+
+            # ---- pass 1: forward, total radiance L_s per lane ----
+            def f_body(c):
+                o, d, T, L, depth, alive = c
+                st = bounce_common(o, d, T, depth, samp)
+                L = tuple(L[i] + st["contrib"][i] for i in range(3))
+                o, d, T, alive = advance(o, d, T, alive, st)
+                return (o, d, T, L, depth + 1, alive)
+
+            def f_cond(c):
+                return jnp.any(c[5] > 0.0)
+
+            zeros = jnp.zeros((1, rb), jnp.float32)
+            c0 = (o_init, d_init, T0, (zeros, zeros, zeros),
+                  jnp.zeros((1, rb), jnp.int32), onf0)
+            _, _, _, L, _, _ = jax.lax.while_loop(f_cond, f_body, c0)
+
+            # ---- pass 2: replay, closed-form adjoints ----
+            def g_body(c):
+                o, d, T, U, depth, alive, acc, ek = c
+                st = bounce_common(o, d, T, depth, samp)
+                # U_{d+1}: remaining radiance AFTER this bounce (exact:
+                # both passes accumulate the same floats in order)
+                U = tuple(U[i] - st["contrib"][i] for i in range(3))
+
+                kd, p, inv_p = st["kd"], st["p"], st["inv_p"]
+                # even split over argmax ties (jnp.max VJP convention)
+                ties = [(kd[c] == p).astype(jnp.float32) for c in range(3)]
+                tie_n = ties[0] + ties[1] + ties[2]
+                wU = (w3[0] * U[0] + w3[1] * U[1] + w3[2] * U[2])
+                amax_term = -inv_p * wU / jnp.maximum(tie_n, 1.0)
+
+                g_rows = []
+                for c in range(3):
+                    g_kd = (w3[c] * T[c] * st["A"][c]
+                            + jnp.where(kd[c] > 0.0,
+                                        w3[c] * U[c]
+                                        / jnp.maximum(kd[c], 1e-30), 0.0)
+                            + ties[c] * amax_term)
+                    g_rows.append(g_kd)
+                for c in range(3):
+                    g_rows.append(w3[c] * T[c] * st["em_scale"])
+                g_rows.append(jnp.zeros((1, rb), jnp.float32))
+                g_rows.append(jnp.zeros((1, rb), jnp.float32))
+                G = jnp.concatenate(g_rows, axis=0)          # [8, RB]
+
+                onehot = (lane_iota
+                          == st["mat"].astype(jnp.int32)).astype(
+                              jnp.float32)                   # [M, RB]
+                acc = acc + jax.lax.dot_general(
+                    G, onehot, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)      # [8, M]
+
+                # NEE mat_emissive adjoint (static emitter material)
+                ek = tuple(ek[c] + w3[c] * T[c] * kd[c] * st["sum_scale"]
+                           for c in range(3))
+
+                o, d, T, alive = advance(o, d, T, alive, st)
+                return (o, d, T, U, depth + 1, alive, acc, ek)
+
+            def g_cond(c):
+                return jnp.any(c[5] > 0.0)
+
+            c0 = (o_init, d_init, T0, L,
+                  jnp.zeros((1, rb), jnp.int32), onf0, acc,
+                  (zeros, zeros, zeros))
+            out = jax.lax.while_loop(g_cond, g_body, c0)
+            acc, ek = out[6], out[7]
+            for c in range(3):
+                acc = acc + jnp.sum(ek[c]) * em_masks[c]
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, samples, sample_grads,
+            jnp.zeros((8, M_LANES), jnp.float32))
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += acc
+
+    return kernel
+
+
+def make_fused_grad_fn(scene: Scene, camera, *, samples: int,
+                       max_depth: int, light_samples: int = 2,
+                       ray_block: int = RAY_BLOCK,
+                       interpret: bool | None = None):
+    """Build `grads(key, dloss_dimg) -> dict` for the fused path scene.
+
+    dloss_dimg is the loss cotangent w.r.t. the rendered image [H, W, 3]
+    (e.g. 2*(img-target)/(H*W*3) for MSE). Returns per-material-table
+    gradients {"mat_diffuse": [M, 3], "mat_emissive": [M, 3]} — exactly
+    what reverse-mode AD of the estimator yields, computed by path
+    replay instead of residual storage.
+    """
+    if not fused_train_supported(scene):
+        raise ValueError("scene outside the fused-train gate "
+                         "(textures / emitters / size / materials)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    n_pad = ((max(n_pix, ray_block) + ray_block - 1)
+             // ray_block) * ray_block
+    M = int(scene.num_meshes)
+
+    tri_tab = jnp.asarray(pack_fused_tri_table(scene))
+    T_pad = tri_tab.shape[0]
+    emitter = _emitter_consts(scene)
+
+    kernel = _make_grad_kernel(T_pad, W, H, samples, max_depth,
+                               light_samples, emitter, n_pix)
+    cam_v = camera_vec(camera)
+
+    grid = (n_pad // ray_block,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, M_LANES), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, M_LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def _impl(seed, w_planes):
+        out = call(cam_v, seed, tri_tab, w_planes)
+        return {"mat_diffuse": out[0:3, :M].T,
+                "mat_emissive": out[3:6, :M].T}
+
+    def grads(key, dloss_dimg):
+        # per-lane adjoint: lanes accumulate SUM over samples; the image
+        # is the mean, so fold 1/samples into the cotangent
+        w = (jnp.asarray(dloss_dimg, jnp.float32)
+             .reshape(n_pix, 3).T / float(samples))        # [3, n_pix]
+        w_planes = jnp.zeros((8, n_pad), jnp.float32)
+        w_planes = w_planes.at[0:3, :n_pix].set(w)
+        return _impl(seed_scalar(key), w_planes)
+
+    return grads
+
+
+def make_fused_train_step(scene: Scene, camera, target, *, samples: int,
+                          max_depth: int, light_samples: int = 2,
+                          ray_block: int = RAY_BLOCK,
+                          interpret: bool | None = None):
+    """`step(key) -> (loss, grads)` for MSE against `target`: forward via
+    the fused megakernel, backward via the PRB kernel — the whole train
+    step is two kernel launches (~3 forward-equivalents of work) with no
+    per-bounce residual traffic."""
+    from orion_tpu.ops.pallas_fused import make_fused_path_renderer
+
+    fwd = make_fused_path_renderer(scene, camera, samples=samples,
+                                   max_depth=max_depth,
+                                   light_samples=light_samples,
+                                   ray_block=ray_block,
+                                   interpret=interpret)
+    gfn = make_fused_grad_fn(scene, camera, samples=samples,
+                             max_depth=max_depth,
+                             light_samples=light_samples,
+                             ray_block=ray_block, interpret=interpret)
+    H, W = camera.yres, camera.xres
+    target = jnp.asarray(target, jnp.float32)
+
+    def step(key):
+        img = fwd(key)
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        cot = diff * (2.0 / (H * W * 3))
+        return loss, gfn(key, cot)
+
+    return step
