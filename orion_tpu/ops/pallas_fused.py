@@ -628,17 +628,20 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
     )
 
     @jax.jit
-    def _impl(cv, seed):
-        out = call(cv, seed, tri_tab)
+    def _impl(cv, seed, tab):
+        out = call(cv, seed, tab)
         return out[0:3, :n_pix].T.reshape(H, W, 3)
 
-    def render_fused(key, camera_override=None) -> jax.Array:
+    def render_fused(key, camera_override=None, tab=None) -> jax.Array:
         """Render with `key`; camera_override (same resolution) lets the
         viewer fly without recompiling — the kernel reads the camera
-        from scalar memory at run time."""
+        from scalar memory at run time. `tab` overrides the triangle
+        table (pack_fused_tri_table_jnp of a parameter-substituted
+        scene), so optimization loops can re-render updated materials
+        without rebuilding the kernel."""
         cv = cam_vec if camera_override is None else camera_vec(
             camera_override)
-        return _impl(cv, seed_scalar(key))
+        return _impl(cv, seed_scalar(key), tri_tab if tab is None else tab)
 
     return render_fused
 

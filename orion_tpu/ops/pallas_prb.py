@@ -302,19 +302,20 @@ def make_fused_grad_fn(scene: Scene, camera, *, samples: int,
     )
 
     @jax.jit
-    def _impl(seed, w_planes):
-        out = call(cam_v, seed, tri_tab, w_planes)
+    def _impl(seed, w_planes, tab):
+        out = call(cam_v, seed, tab, w_planes)
         return {"mat_diffuse": out[0:3, :M].T,
                 "mat_emissive": out[3:6, :M].T}
 
-    def grads(key, dloss_dimg):
+    def grads(key, dloss_dimg, tab=None):
         # per-lane adjoint: lanes accumulate SUM over samples; the image
         # is the mean, so fold 1/samples into the cotangent
         w = (jnp.asarray(dloss_dimg, jnp.float32)
              .reshape(n_pix, 3).T / float(samples))        # [3, n_pix]
         w_planes = jnp.zeros((8, n_pad), jnp.float32)
         w_planes = w_planes.at[0:3, :n_pix].set(w)
-        return _impl(seed_scalar(key), w_planes)
+        return _impl(seed_scalar(key), w_planes,
+                     tri_tab if tab is None else tab)
 
     return grads
 
@@ -322,12 +323,22 @@ def make_fused_grad_fn(scene: Scene, camera, *, samples: int,
 def make_fused_train_step(scene: Scene, camera, target, *, samples: int,
                           max_depth: int, light_samples: int = 2,
                           ray_block: int = RAY_BLOCK,
-                          interpret: bool | None = None):
-    """`step(key) -> (loss, grads)` for MSE against `target`: forward via
-    the fused megakernel, backward via the PRB kernel — the whole train
-    step is two kernel launches (~3 forward-equivalents of work) with no
-    per-bounce residual traffic."""
-    from orion_tpu.ops.pallas_fused import make_fused_path_renderer
+                          interpret: bool | None = None,
+                          dynamic_params: bool = False):
+    """MSE train step against `target`: forward via the fused megakernel,
+    backward via the PRB kernel — the whole step is two kernel launches
+    (~3 forward-equivalents of work) with no per-bounce residual traffic.
+
+    dynamic_params=False: `step(key) -> (loss, grads)` over the baked
+    scene (benchmark form). dynamic_params=True:
+    `step(params, key) -> (loss, grads)` where params is a dict over
+    {mat_diffuse, mat_emissive} — the triangle table is rebuilt in-graph
+    (pack_fused_tri_table_jnp) each call, so an optax loop can fit
+    materials end-to-end at megakernel speed (optim.fit routes here)."""
+    import dataclasses
+
+    from orion_tpu.ops.pallas_fused import (make_fused_path_renderer,
+                                            pack_fused_tri_table_jnp)
 
     fwd = make_fused_path_renderer(scene, camera, samples=samples,
                                    max_depth=max_depth,
@@ -348,4 +359,21 @@ def make_fused_train_step(scene: Scene, camera, target, *, samples: int,
         cot = diff * (2.0 / (H * W * 3))
         return loss, gfn(key, cot)
 
-    return step
+    if not dynamic_params:
+        return step
+
+    def step_params(params, key):
+        bad = set(params) - {"mat_diffuse", "mat_emissive"}
+        if bad:
+            raise ValueError(f"PRB differentiates material tables only; "
+                             f"got {sorted(bad)}")
+        s = dataclasses.replace(scene, **params)
+        tab = pack_fused_tri_table_jnp(s)
+        img = fwd(key, tab=tab)
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        cot = diff * (2.0 / (H * W * 3))
+        g = gfn(key, cot, tab=tab)
+        return loss, {k: g[k] for k in params}
+
+    return step_params

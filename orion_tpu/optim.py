@@ -90,6 +90,31 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
     return loss
 
 
+def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
+                       light_samples, mode, loss_fn):
+    """Route to the path-replay-backprop megakernel when it applies:
+    path mode, MSE loss, material-table params only, fused-gate scene.
+    Returns a `(params, key) -> (loss, grads)` fn or None (wavefront AD).
+    """
+    if loss_fn is not None:
+        return None
+    if mode not in (None, "path"):
+        return None
+    if mode is None and int(getattr(ps.scene, "num_lights", 0)) > 0:
+        return None  # auto-mode resolves to whitted
+    if not set(params) <= {"mat_diffuse", "mat_emissive"}:
+        return None
+    from orion_tpu.ops.pallas_prb import (fused_train_supported,
+                                          make_fused_train_step)
+
+    if not fused_train_supported(ps.scene):
+        return None
+    return make_fused_train_step(ps.scene, ps.camera, target,
+                                 samples=samples, max_depth=max_depth,
+                                 light_samples=light_samples,
+                                 dynamic_params=True)
+
+
 def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
         steps: int = 100, learning_rate: float = 5e-2,
         optimizer: Optional[optax.GradientTransformation] = None,
@@ -97,12 +122,20 @@ def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
         mode: Optional[str] = None, seed: int = 0,
         resample_keys: bool = True,
         loss_fn: Optional[Callable] = None,
+        use_prb: str | bool = "auto",
         callback: Optional[Callable[[int, float], None]] = None) -> FitResult:
     """Fit `params` of a PreparedScene to a target [H,W,3] image.
 
     resample_keys=True draws a fresh sampling key per step (stochastic
     gradient over the path space); False holds the key fixed (deterministic
     objective — useful for convergence tests).
+
+    use_prb: "auto" (default) computes gradients with the path-replay
+    megakernel (ops/pallas_prb.py, ~8x the wavefront-AD step rate on TPU)
+    whenever the scene/params/loss fit its gate, falling back to wavefront
+    AD otherwise; False forces wavefront AD; True requires PRB (raises if
+    the gate rejects the setup). Note PRB draws its own RNG stream
+    (PCG4D), so losses differ from the wavefront path at the noise level.
     """
     geom = [p for p in params if p in GEOMETRY_PARAMS]
     if geom and str(getattr(ps, "backend", "")).startswith("bvh"):
@@ -116,13 +149,30 @@ def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     theta = {name: getattr(ps.scene, name) for name in params}
     opt_state = opt.init(theta)
-    loss = make_loss(ps.scene, ps.camera, samples=samples,
-                     max_depth=max_depth, light_samples=light_samples,
-                     mode=mode, intersect=ps.intersect, loss_fn=loss_fn)
+
+    prb = None
+    if use_prb:
+        prb = _prb_loss_and_grad(ps, target, params, samples=samples,
+                                 max_depth=max_depth,
+                                 light_samples=light_samples, mode=mode,
+                                 loss_fn=loss_fn)
+        if prb is None and use_prb is True:
+            raise ValueError("use_prb=True but the setup is outside the "
+                             "PRB gate (params/mode/loss/scene)")
+
+    if prb is not None:
+        value_and_grad = prb
+    else:
+        loss = make_loss(ps.scene, ps.camera, samples=samples,
+                         max_depth=max_depth, light_samples=light_samples,
+                         mode=mode, intersect=ps.intersect, loss_fn=loss_fn)
+
+        def value_and_grad(theta, key):
+            return jax.value_and_grad(loss)(theta, key, target)
 
     @jax.jit
     def step(theta, opt_state, key):
-        l, grads = jax.value_and_grad(loss)(theta, key, target)
+        l, grads = value_and_grad(theta, key)
         updates, opt_state = opt.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         return _project(theta), opt_state, l

@@ -27,9 +27,13 @@ def test_fit_recovers_albedo(assets_dir):
     ps_p = dataclasses.replace(ps, scene=perturbed)
 
     err0 = float(np.abs(np.asarray(perturbed.mat_diffuse) - true_kd).mean())
+    # use_prb=False: this test fixes the key so the objective is
+    # deterministic against a WAVEFRONT-rendered target; the PRB kernel
+    # draws a different (PCG4D) stream, which would add a noise floor.
+    # The PRB-routed fit is covered in tests/test_prb.py.
     result = fit(ps_p, target, params=("mat_diffuse",), steps=40,
                  learning_rate=0.1, samples=2, max_depth=2, light_samples=1,
-                 mode="path", resample_keys=False)
+                 mode="path", resample_keys=False, use_prb=False)
 
     assert np.isfinite(result.losses).all()
     assert result.losses[-1] < result.losses[0] * 0.5
@@ -54,7 +58,7 @@ def test_fit_emissive_strength(assets_dir):
     ps_d = dataclasses.replace(ps, scene=dimmed)
     result = fit(ps_d, target, params=("mat_emissive",), steps=80,
                  learning_rate=0.5, samples=2, max_depth=2, light_samples=1,
-                 mode="path", resample_keys=False)
+                 mode="path", resample_keys=False, use_prb=False)
     assert result.losses[-1] < result.losses[0] * 0.55
     # the recovered emission moved toward the true (brighter) value
     em_true = np.asarray(ps.scene.mat_emissive)

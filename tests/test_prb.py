@@ -129,3 +129,70 @@ def test_prb_descends_on_albedo_recovery(setup):
     img2 = fwd2(key)
     loss2 = float(jnp.mean((img2 - target) ** 2))
     assert loss2 < float(loss)
+
+
+def test_dynamic_params_step_matches_static(setup):
+    scene, cam, key, target = setup
+    static = make_fused_train_step(scene, cam, target, samples=SAMPLES,
+                                   max_depth=DEPTH, light_samples=LS,
+                                   ray_block=128)
+    dynamic = make_fused_train_step(scene, cam, target, samples=SAMPLES,
+                                    max_depth=DEPTH, light_samples=LS,
+                                    ray_block=128, dynamic_params=True)
+    l_s, g_s = static(key)
+    params = {"mat_diffuse": scene.mat_diffuse,
+              "mat_emissive": scene.mat_emissive}
+    l_d, g_d = dynamic(params, key)
+    assert float(l_s) == pytest.approx(float(l_d), rel=1e-6)
+    for name in params:
+        np.testing.assert_allclose(np.asarray(g_d[name]),
+                                   np.asarray(g_s[name]),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_fit_routes_to_prb_and_descends(setup):
+    """optim.fit on a fused-gate path scene uses the PRB megakernel and
+    recovers a perturbed albedo (loss strictly decreases)."""
+    import types
+
+    from orion_tpu.optim import fit, _prb_loss_and_grad
+
+    scene, cam, key, _ = setup
+    fwd = make_fused_path_renderer(scene, cam, samples=SAMPLES,
+                                   max_depth=DEPTH, light_samples=LS,
+                                   ray_block=128)
+    target = fwd(key)
+
+    kd_pert = scene.mat_diffuse.at[:, 0].multiply(0.6)
+    pert = dataclasses.replace(scene, mat_diffuse=kd_pert)
+    ps = types.SimpleNamespace(scene=pert, camera=cam, backend="brute",
+                               intersect=None)
+    # the router accepts this setup
+    assert _prb_loss_and_grad(ps, target, ("mat_diffuse",),
+                              samples=SAMPLES, max_depth=DEPTH,
+                              light_samples=LS, mode=None,
+                              loss_fn=None) is not None
+    # seed=3 == the target's key: deterministic objective whose minimum
+    # is the true albedo (resample_keys=False holds the key fixed)
+    res = fit(ps, target, params=("mat_diffuse",), steps=80,
+              learning_rate=0.05, samples=SAMPLES, max_depth=DEPTH,
+              light_samples=LS, seed=3, resample_keys=False,
+              use_prb=True)
+    assert res.losses[-1] < res.losses[0] * 0.3
+    # recovered red channel moved toward the true albedo
+    err0 = float(jnp.abs(kd_pert - scene.mat_diffuse).sum())
+    err1 = float(jnp.abs(res.params["mat_diffuse"]
+                         - scene.mat_diffuse).sum())
+    assert err1 < err0
+
+
+def test_fit_use_prb_true_raises_outside_gate(setup):
+    import types
+
+    from orion_tpu.optim import fit
+
+    scene, cam, key, target = setup
+    ps = types.SimpleNamespace(scene=scene, camera=cam, backend="brute",
+                               intersect=None)
+    with pytest.raises(ValueError, match="PRB gate"):
+        fit(ps, target, params=("tri_v0",), steps=1, use_prb=True)
