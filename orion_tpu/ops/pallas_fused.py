@@ -522,7 +522,7 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
 def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
                  light_samples: int, emitter, n_pix: int):
-    def kernel(cam_ref, seed_ref, tri_ref, out_ref):
+    def kernel(cam_ref, seed_ref, base_ref, tri_ref, out_ref):
         rb = out_ref.shape[1]
         seed = seed_ref[0]
 
@@ -532,7 +532,9 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
         def col(c):
             return tri_ref[:, c:c + 1]                     # [T_pad, 1]
 
-        pix0 = pl.program_id(0) * rb
+        # base_ref: this shard's first global pixel (0 single-chip; a
+        # chip's tile offset under parallel/fused_shard's ray DP)
+        pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
                + pix0)                                     # [1, RB]
         in_image = pix < n_pix
@@ -582,6 +584,32 @@ def seed_scalar(key) -> jax.Array:
     return seed.reshape(-1)[-1:].astype(jnp.int32)
 
 
+def build_fused_call(T_pad: int, W: int, H: int, samples: int,
+                     max_depth: int, light_samples: int, emitter,
+                     n_pix: int, n_pad: int, ray_block: int,
+                     interpret: bool):
+    """The raw megakernel call: (cam_vec [12], seed [1], pix_base [1],
+    tab [T_pad, 32]) -> [8, n_pad] radiance planes for the n_pad lanes
+    starting at global pixel pix_base. make_fused_path_renderer wraps it
+    for the whole image (pix_base 0); parallel/fused_shard sizes n_pad to
+    a chip's tile and passes each shard's offset."""
+    kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
+                          emitter, n_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
 def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
                              max_depth: int, light_samples: int = 2,
                              ray_block: int = RAY_BLOCK,
@@ -606,30 +634,14 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
     T_pad = tri_tab.shape[0]
     emitter = _emitter_consts(scene)
 
-    kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
-                          emitter, n_pix)
-
     cam_vec = camera_vec(camera)
-
-    grid = (n_pad // ray_block,)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        interpret=interpret,
-    )
+    call = build_fused_call(T_pad, W, H, samples, max_depth, light_samples,
+                            emitter, n_pix, n_pad, ray_block, interpret)
+    zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit
     def _impl(cv, seed, tab):
-        out = call(cv, seed, tab)
+        out = call(cv, seed, zero_base, tab)
         return out[0:3, :n_pix].T.reshape(H, W, 3)
 
     def render_fused(key, camera_override=None, tab=None) -> jax.Array:

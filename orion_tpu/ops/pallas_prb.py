@@ -81,7 +81,7 @@ def _make_grad_kernel(T_pad: int, W: int, H: int, samples: int,
                       n_pix: int):
     em_mesh = emitter[0]
 
-    def kernel(cam_ref, seed_ref, tri_ref, w_ref, out_ref):
+    def kernel(cam_ref, seed_ref, base_ref, tri_ref, w_ref, out_ref):
         # static one-hot scatter targets for the NEE mat_emissive adjoint
         # (built from iotas: pallas kernels cannot capture array consts)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 0)
@@ -98,7 +98,8 @@ def _make_grad_kernel(T_pad: int, W: int, H: int, samples: int,
         def col(c):
             return tri_ref[:, c:c + 1]
 
-        pix0 = pl.program_id(0) * rb
+        # base_ref: the shard's first global pixel (fused_shard ray DP)
+        pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
@@ -252,6 +253,34 @@ def _make_grad_kernel(T_pad: int, W: int, H: int, samples: int,
     return kernel
 
 
+def build_grad_call(T_pad: int, W: int, H: int, samples: int,
+                    max_depth: int, light_samples: int, emitter,
+                    n_pix: int, n_pad: int, ray_block: int,
+                    interpret: bool):
+    """The raw PRB kernel call: (cam_vec [12], seed [1], pix_base [1],
+    tab [T_pad, 32], w_planes [8, n_pad]) -> [8, M_LANES] gradient
+    accumulator for the n_pad lanes starting at global pixel pix_base.
+    Under ray DP each chip runs its tile and psums the accumulators
+    (parallel/fused_shard)."""
+    kernel = _make_grad_kernel(T_pad, W, H, samples, max_depth,
+                               light_samples, emitter, n_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, M_LANES), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, M_LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
 def make_fused_grad_fn(scene: Scene, camera, *, samples: int,
                        max_depth: int, light_samples: int = 2,
                        ray_block: int = RAY_BLOCK,
@@ -279,31 +308,14 @@ def make_fused_grad_fn(scene: Scene, camera, *, samples: int,
     T_pad = tri_tab.shape[0]
     emitter = _emitter_consts(scene)
 
-    kernel = _make_grad_kernel(T_pad, W, H, samples, max_depth,
-                               light_samples, emitter, n_pix)
     cam_v = camera_vec(camera)
-
-    grid = (n_pad // ray_block,)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, M_LANES), lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, M_LANES), jnp.float32),
-        interpret=interpret,
-    )
+    call = build_grad_call(T_pad, W, H, samples, max_depth, light_samples,
+                           emitter, n_pix, n_pad, ray_block, interpret)
+    zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit
     def _impl(seed, w_planes, tab):
-        out = call(cam_v, seed, tab, w_planes)
+        out = call(cam_v, seed, zero_base, tab, w_planes)
         return {"mat_diffuse": out[0:3, :M].T,
                 "mat_emissive": out[3:6, :M].T}
 

@@ -1,0 +1,166 @@
+"""Multi-chip megakernel rendering and PRB training: ray data-parallelism
+over a jax.sharding.Mesh via shard_map.
+
+The TPU-native scaling story of SURVEY.md §2.4 applied to the fused
+kernels: pixels tile across chips (each chip's megakernel walks its own
+lane range), the scene table replicates in HBM, and — because the
+in-kernel PCG4D stream is a pure function of the GLOBAL pixel index —
+the distributed image is BIT-IDENTICAL to the single-chip render: zero
+forward collectives, no estimator change. Training adds exactly ONE
+collective: a psum of the [8, 128] per-chip gradient accumulators (a
+512-byte all-reduce per step, riding ICI), after which every chip holds
+the full dLoss/d(materials) — the scene-parameter gradient all-reduce
+the reference has no analogue for (it has no gradients and no chips;
+its closest mechanism is the OpenMP pixel fan-out, raytracer.cpp:70).
+
+Weak-scaling expectation: forward efficiency == per-chip throughput at
+1/n_chips of the pixels (bench.py's scaling_weak_1chip measures the
+resident-batch term at 0.91 for 8x on one real chip); the train step
+adds one tiny all-reduce, so efficiency is the same to first order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from orion_tpu.ops.pallas_fused import (RAY_BLOCK, _emitter_consts,
+                                        build_fused_call, camera_vec,
+                                        fused_path_supported,
+                                        pack_fused_tri_table,
+                                        pack_fused_tri_table_jnp,
+                                        seed_scalar)
+from orion_tpu.ops.pallas_prb import (M_LANES, build_grad_call,
+                                      fused_train_supported)
+from orion_tpu.scene import Scene
+
+AXIS = "rays"
+
+
+def _mesh(devices=None) -> Mesh:
+    devs = jax.devices() if devices is None else list(devices)
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _tile(n_pix: int, n_chips: int, ray_block: int) -> int:
+    """Per-chip lane count: n_pix split over chips, padded to ray_block."""
+    per = -(-n_pix // n_chips)
+    return -(-max(per, ray_block) // ray_block) * ray_block
+
+
+def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
+                              max_depth: int, light_samples: int = 2,
+                              ray_block: int = RAY_BLOCK,
+                              devices=None,
+                              interpret: bool | None = None):
+    """`fn(key) -> [H, W, 3]` rendering with one megakernel per chip.
+
+    Bit-identical to make_fused_path_renderer's single-chip image for
+    any chip count (the PCG4D draws hash global pixel ids)."""
+    if not fused_path_supported(scene):
+        raise ValueError("scene outside the fused-path gate")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _mesh(devices)
+    n_chips = mesh.devices.size
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    local = _tile(n_pix, n_chips, ray_block)
+
+    tri_tab = jnp.asarray(pack_fused_tri_table(scene))
+    emitter = _emitter_consts(scene)
+    call = build_fused_call(tri_tab.shape[0], W, H, samples, max_depth,
+                            light_samples, emitter, n_pix, local,
+                            ray_block, interpret)
+    cam_v = camera_vec(camera)
+
+    def shard_fn(seed):
+        base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
+        return call(cam_v, seed, base[None], tri_tab)    # [8, local]
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(),
+                        out_specs=P(None, AXIS), check_vma=False)
+
+    @jax.jit
+    def _impl(seed):
+        out = sharded(seed)                              # [8, n_chips*local]
+        return out[0:3, :n_pix].T.reshape(H, W, 3)
+
+    def render_sharded(key) -> jax.Array:
+        return _impl(seed_scalar(key))
+
+    return render_sharded
+
+
+def make_fused_train_step_sharded(scene: Scene, camera, target, *,
+                                  samples: int, max_depth: int,
+                                  light_samples: int = 2,
+                                  ray_block: int = RAY_BLOCK,
+                                  devices=None,
+                                  interpret: bool | None = None):
+    """`step(params, key) -> (loss, grads)` with forward AND backward ray
+    data-parallel across the mesh; grads all-reduce with one psum of the
+    [8, 128] accumulator. params: {mat_diffuse, mat_emissive} (any
+    subset)."""
+    if not fused_train_supported(scene):
+        raise ValueError("scene outside the fused-train gate")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _mesh(devices)
+    n_chips = mesh.devices.size
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    local = _tile(n_pix, n_chips, ray_block)
+    n_pad = n_chips * local
+    M = int(scene.num_meshes)
+
+    tri_tab0 = jnp.asarray(pack_fused_tri_table(scene))
+    T_pad = tri_tab0.shape[0]
+    emitter = _emitter_consts(scene)
+    fwd_call = build_fused_call(T_pad, W, H, samples, max_depth,
+                                light_samples, emitter, n_pix, local,
+                                ray_block, interpret)
+    grad_call = build_grad_call(T_pad, W, H, samples, max_depth,
+                                light_samples, emitter, n_pix, local,
+                                ray_block, interpret)
+    cam_v = camera_vec(camera)
+    target = jnp.asarray(target, jnp.float32)
+
+    def shard_fwd(seed, tab):
+        base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
+        return fwd_call(cam_v, seed, base[None], tab)
+
+    def shard_grad(seed, tab, w_planes):
+        base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
+        acc = grad_call(cam_v, seed, base[None], tab, w_planes)
+        return jax.lax.psum(acc, AXIS)                   # [8, M_LANES]
+
+    fwd_sh = shard_map(shard_fwd, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(None, AXIS), check_vma=False)
+    grad_sh = shard_map(shard_grad, mesh=mesh,
+                        in_specs=(P(), P(), P(None, AXIS)),
+                        out_specs=P(), check_vma=False)
+
+    @jax.jit
+    def step(params, key):
+        s = dataclasses.replace(scene, **params)
+        tab = pack_fused_tri_table_jnp(s)
+        seed = seed_scalar(key)
+        out = fwd_sh(seed, tab)
+        img = out[0:3, :n_pix].T.reshape(H, W, 3)
+        diff = img - target
+        loss = jnp.mean(diff * diff)
+        w = (diff * (2.0 / (H * W * 3))).reshape(n_pix, 3).T / samples
+        w_planes = jnp.zeros((8, n_pad), jnp.float32).at[0:3, :n_pix].set(w)
+        acc = grad_sh(seed, tab, w_planes)
+        g = {"mat_diffuse": acc[0:3, :M].T, "mat_emissive": acc[3:6, :M].T}
+        return loss, {k: g[k] for k in params}
+
+    return step
