@@ -65,24 +65,30 @@ def measure_vpu_peak():
 
 
 def measure_hbm_bw():
+    """Streaming triad y = a*x + y over 1 GB arrays: 8 B read + 4 B
+    written per element, trivially vectorized (a reduction serializes on
+    the accumulator tree and under-reports). Dispatches back-to-back with
+    one fetch so tunnel latency amortizes (round-1 lesson)."""
     import jax
     import jax.numpy as jnp
 
-    n = 512 * 1024 * 1024  # 2 GB f32
+    n = 256 * 1024 * 1024  # 1 GB f32 each
     x = jnp.ones((n,), jnp.float32)
+    y = jnp.zeros((n,), jnp.float32)
 
     @jax.jit
-    def red(x):
-        return jnp.sum(x)
+    def triad(x, y):
+        return x * jnp.float32(1.000001) + y
 
-    _ = float(red(x))
+    y = triad(x, y)
+    _ = float(y[0])
     t0 = time.perf_counter()
-    iters = 5
-    acc = 0.0
+    iters = 30
     for _ in range(iters):
-        acc += float(red(x))
+        y = triad(x, y)
+    _ = float(y[0])
     dt = (time.perf_counter() - t0) / iters
-    return 4.0 * n / dt  # bytes read / s
+    return 12.0 * n / dt  # bytes moved / s
 
 
 def simulate_packet_walk(bvh, orig, dirs, rb, n_blocks=64, seed=0):
@@ -202,6 +208,63 @@ def main():
                       "achieved_total_flops": mt_flops + slab_flops,
                       "pct_of_vpu": round(
                           100 * (mt_flops + slab_flops) / vpu, 1)}),
+          flush=True)
+
+    # fused megakernel achieved intensity (BASELINE config 2). Work per
+    # primary ray = bounces/sample x (1 nearest + ls shadow sweeps) x
+    # T_pad MT tests; bounces/sample counted exactly by stepping the
+    # replica's shared body on a small image (same estimator, same RNG
+    # family — path-length statistics are resolution-invariant for a
+    # fixed scene/camera).
+    import dataclasses as _dc
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops import pallas_fused as pf
+
+    scene2, rtc2 = load_scene("/root/reference/assets/cornell-box.rtc")
+    samples_cfg, depth_cfg, ls_cfg = 16, 8, 2
+    rtc_small = rtc2
+    rtc_small.xres, rtc_small.yres = 96, 54
+    cam_small = camera_from_rtc(rtc_small)
+    npx = 96 * 54
+    tab = pf.pack_fused_tri_table_jnp(scene2)
+    pix = jnp.arange(npx, dtype=jnp.int32).reshape(1, npx)
+    cv = pf.camera_vec(cam_small)
+    seed = pf.seed_scalar(jax.random.key(0))[0]
+    body, _, init = pf._make_regen_body(
+        lambda c: tab[:, c:c + 1], lambda i: cv[i], seed, pix, npx,
+        tab.shape[0], 96, 54, samples_cfg, depth_cfg, ls_cfg,
+        pf._emitter_consts(scene2))
+    carry = init(jnp.ones((1, npx), bool))
+    active_steps = 0.0
+    for _ in range(samples_cfg * (depth_cfg + 1)):
+        active_steps += float(jnp.sum(carry[13] < samples_cfg))
+        carry = body(carry)
+    bounces_per_sample = active_steps / (npx * samples_cfg)
+
+    rtc2.xres = rtc2.yres = 512
+    cam512 = camera_from_rtc(rtc2)
+    fn = pf.make_fused_path_renderer(scene2, cam512, samples=samples_cfg,
+                                     max_depth=depth_cfg,
+                                     light_samples=ls_cfg)
+    k = jax.random.key(0)
+    img = fn(k)
+    _ = float(jnp.sum(img))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        img = fn(k)
+    _ = float(jnp.sum(img))
+    dt = (time.perf_counter() - t0) / 5
+    rays = 512 * 512 * samples_cfg
+    T_pad = tab.shape[0]
+    mt = rays * bounces_per_sample * (1 + ls_cfg) * T_pad * MT_FLOPS / dt
+    print(json.dumps({"measure": "fused_cornell_512_16spp",
+                      "rays_per_s": round(rays / dt, 1),
+                      "bounces_per_sample": round(bounces_per_sample, 3),
+                      "mt_tests_per_primary": round(
+                          bounces_per_sample * (1 + ls_cfg) * T_pad, 1),
+                      "achieved_mt_flops": mt,
+                      "pct_of_vpu": round(100 * mt / vpu, 1)}),
           flush=True)
 
 
