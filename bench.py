@@ -100,16 +100,52 @@ def _render_config(rtc, xres, yres, samples, depth, light_samples, mode,
             "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
 
 
+def _render_config_whitted_fused(rtc, xres, yres, samples, depth, iters,
+                                 inject_light=None):
+    """The fused Whitted megakernel candidate (ops/pallas_whitted.py)."""
+    import jax
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_whitted import make_fused_whitted_renderer
+    from orion_tpu.scene import load_scene
+
+    scene, r = load_scene(f"{ASSETS}/{rtc}")
+    if inject_light is not None:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        pos, color, intensity = inject_light
+        scene = dataclasses.replace(
+            scene, light_pos=jnp.asarray([pos], jnp.float32),
+            light_color=jnp.asarray([color], jnp.float32),
+            light_intensity=jnp.asarray([intensity], jnp.float32),
+            num_lights=1)
+    r.xres, r.yres = xres, yres
+    cam = camera_from_rtc(r)
+    fn = make_fused_whitted_renderer(scene, cam, samples=samples,
+                                     max_depth=depth)
+    dt = _time_calls(lambda: fn(jax.random.key(0)), iters)
+    return {"backend": "fused-whitted-pallas", "seconds": round(dt, 4),
+            "primary_rays_per_s": round(xres * yres * samples / dt, 1)}
+
+
 def cfg_cornell_whitted_256_1spp():
     """BASELINE config 1: cornell 256x256 Whitted, 1 spp, point light."""
+    light = ((0.0, 2.5, 3.0), (100 / 255, 100 / 255, 100 / 255), 32.0)
+    best = None
+    try:
+        best = _render_config_whitted_fused("cornell-box.rtc", 256, 256, 1,
+                                            2, iters=10, inject_light=light)
+    except Exception as e:
+        print(f"fused-whitted candidate failed: {e!r}", flush=True)
     r = _render_config("cornell-box.rtc", 256, 256, 1, 2, 1, "whitted",
-                       iters=10,
-                       inject_light=((0.0, 2.5, 3.0),
-                                     (100 / 255, 100 / 255, 100 / 255),
-                                     32.0))
-    r["note"] = ("rtc's commented-out light re-enabled "
-                 "(assets/cornell-box.rtc)")
-    return r
+                       iters=10, inject_light=light)
+    if best is None or r["seconds"] < best["seconds"]:
+        best = r
+    best["note"] = ("rtc's commented-out light re-enabled "
+                    "(assets/cornell-box.rtc)")
+    return best
 
 
 def _render_config_fused(rtc, xres, yres, samples, depth, light_samples,
@@ -151,11 +187,20 @@ def cfg_cornell_path_512_16spp():
 
 
 def cfg_view_test_whitted_512_4spp():
-    """BASELINE config 3: view_test 512x512 textured. The scene has point
-    lights, so the reference's auto mode selection renders it Whitted
+    """BASELINE config 3: view_test 512x512. The scene has point lights,
+    so the reference's auto mode selection renders it Whitted
     (raytracer.cpp:131); its 'path' mode would be black (no emissives)."""
-    return _render_config("view_test.rtc", 512, 512, 4, 4, 2, "whitted",
-                          iters=3)
+    best = None
+    try:
+        best = _render_config_whitted_fused("view_test.rtc", 512, 512, 4, 4,
+                                            iters=5)
+    except Exception as e:
+        print(f"fused-whitted candidate failed: {e!r}", flush=True)
+    r = _render_config("view_test.rtc", 512, 512, 4, 4, 2, "whitted",
+                       iters=3)
+    if best is None or r["seconds"] < best["seconds"]:
+        best = r
+    return best
 
 
 def cfg_nanosuit_whitted_1024_64spp():
