@@ -417,13 +417,18 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
-                     max_depth, light_samples, emitter):
+                     max_depth, light_samples, emitter, samp_slots=0):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
     no-op for them, so running it a fixed S*(max_depth+1) times equals
     running the while_loop to quiescence — which is how the replica stays
-    reverse-differentiable)."""
+    reverse-differentiable).
+
+    samp_slots > 0 appends 3*samp_slots per-SAMPLE radiance planes to the
+    carry (one-hot accumulated by the lane's current sample index): the
+    L_s record the PRB replay kernel initializes its remaining-radiance
+    state from at each sample regeneration (ops/pallas_prb.py)."""
     _, sweep = _make_geom(col, T_pad)
     primary = _make_primary(cam, seed, pix, W, H)
     nee = _make_nee(sweep, emitter, seed, pix, light_samples)
@@ -431,7 +436,8 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
     def body(carry):
         (ox, oy, oz, dx, dy, dz, tr, tg, tb,
-         ar, ag, ab, depth, samp) = carry
+         ar, ag, ab, depth, samp) = carry[:14]
+        ls_planes = carry[14:]
 
         t, hit, u, v, got = sweep((ox, oy, oz), (dx, dy, dz),
                                   _BOUNCE_ATTRS)
@@ -463,6 +469,14 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
         ar += tr * rr_ * hitf
         ag += tg * rg_ * hitf
         ab += tb * rb_ * hitf
+        if samp_slots:
+            contrib = (tr * rr_ * hitf, tg * rg_ * hitf, tb * rb_ * hitf)
+            new_ls = []
+            for s in range(samp_slots):
+                sel = (samp == s).astype(jnp.float32)
+                for c in range(3):
+                    new_ls.append(ls_planes[3 * s + c] + sel * contrib[c])
+            ls_planes = tuple(new_ls)
 
         # Russian roulette + cosine bounce (raytracer.cpp:161-194)
         u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
@@ -503,7 +517,7 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
         tb = jnp.where(cont, n_tb, onf)
         depth = jnp.where(cont, depth + 1, 0)
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
-                ar, ag, ab, depth, n_samp)
+                ar, ag, ab, depth, n_samp) + ls_planes
 
     def init(in_image):
         samp0 = jnp.where(in_image, 0, S)              # padding: done
@@ -512,7 +526,8 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
         zeros = jnp.zeros_like(ox)
         return (ox, oy, oz, dx, dy, dz, onf0, onf0, onf0,
                 zeros, zeros, zeros,
-                jnp.zeros(ox.shape, jnp.int32), samp0)
+                jnp.zeros(ox.shape, jnp.int32), samp0) \
+            + tuple(zeros for _ in range(3 * samp_slots))
 
     def cond(carry):
         return jnp.any(carry[13] < S)

@@ -107,7 +107,7 @@ def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
     from orion_tpu.ops.pallas_prb import (fused_train_supported,
                                           make_fused_train_step)
 
-    if not fused_train_supported(ps.scene):
+    if not fused_train_supported(ps.scene, samples):
         return None
     return make_fused_train_step(ps.scene, ps.camera, target,
                                  samples=samples, max_depth=max_depth,

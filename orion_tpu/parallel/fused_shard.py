@@ -37,7 +37,8 @@ from orion_tpu.ops.pallas_fused import (RAY_BLOCK, _emitter_consts,
                                         pack_fused_tri_table,
                                         pack_fused_tri_table_jnp,
                                         seed_scalar)
-from orion_tpu.ops.pallas_prb import (M_LANES, build_grad_call,
+from orion_tpu.ops.pallas_prb import (M_LANES, _ls_rows,
+                                      build_fwd_ls_call, build_replay_call,
                                       fused_train_supported)
 from orion_tpu.scene import Scene
 
@@ -109,7 +110,7 @@ def make_fused_train_step_sharded(scene: Scene, camera, target, *,
     data-parallel across the mesh; grads all-reduce with one psum of the
     [8, 128] accumulator. params: {mat_diffuse, mat_emissive} (any
     subset)."""
-    if not fused_train_supported(scene):
+    if not fused_train_supported(scene, samples):
         raise ValueError("scene outside the fused-train gate")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -124,12 +125,10 @@ def make_fused_train_step_sharded(scene: Scene, camera, target, *,
     tri_tab0 = jnp.asarray(pack_fused_tri_table(scene))
     T_pad = tri_tab0.shape[0]
     emitter = _emitter_consts(scene)
-    fwd_call = build_fused_call(T_pad, W, H, samples, max_depth,
-                                light_samples, emitter, n_pix, local,
-                                ray_block, interpret)
-    grad_call = build_grad_call(T_pad, W, H, samples, max_depth,
-                                light_samples, emitter, n_pix, local,
-                                ray_block, interpret)
+    args = (T_pad, W, H, samples, max_depth, light_samples, emitter,
+            n_pix, local, ray_block, interpret)
+    fwd_call = build_fwd_ls_call(*args)
+    replay_call = build_replay_call(*args)
     cam_v = camera_vec(camera)
     target = jnp.asarray(target, jnp.float32)
 
@@ -137,29 +136,32 @@ def make_fused_train_step_sharded(scene: Scene, camera, target, *,
         base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
         return fwd_call(cam_v, seed, base[None], tab)
 
-    def shard_grad(seed, tab, w_planes):
+    def shard_replay(seed, tab, w_planes, ls_planes):
         base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
-        acc = grad_call(cam_v, seed, base[None], tab, w_planes)
+        acc = replay_call(cam_v, seed, base[None], tab, w_planes,
+                          ls_planes)
         return jax.lax.psum(acc, AXIS)                   # [8, M_LANES]
 
     fwd_sh = shard_map(shard_fwd, mesh=mesh, in_specs=(P(), P()),
-                       out_specs=P(None, AXIS), check_vma=False)
-    grad_sh = shard_map(shard_grad, mesh=mesh,
-                        in_specs=(P(), P(), P(None, AXIS)),
-                        out_specs=P(), check_vma=False)
+                       out_specs=(P(None, AXIS), P(None, AXIS)),
+                       check_vma=False)
+    replay_sh = shard_map(shard_replay, mesh=mesh,
+                          in_specs=(P(), P(), P(None, AXIS),
+                                    P(None, AXIS)),
+                          out_specs=P(), check_vma=False)
 
     @jax.jit
     def step(params, key):
         s = dataclasses.replace(scene, **params)
         tab = pack_fused_tri_table_jnp(s)
         seed = seed_scalar(key)
-        out = fwd_sh(seed, tab)
+        out, ls = fwd_sh(seed, tab)
         img = out[0:3, :n_pix].T.reshape(H, W, 3)
         diff = img - target
         loss = jnp.mean(diff * diff)
         w = (diff * (2.0 / (H * W * 3))).reshape(n_pix, 3).T / samples
         w_planes = jnp.zeros((8, n_pad), jnp.float32).at[0:3, :n_pix].set(w)
-        acc = grad_sh(seed, tab, w_planes)
+        acc = replay_sh(seed, tab, w_planes, ls)
         g = {"mat_diffuse": acc[0:3, :M].T, "mat_emissive": acc[3:6, :M].T}
         return loss, {k: g[k] for k in params}
 
