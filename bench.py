@@ -204,9 +204,41 @@ def cfg_view_test_whitted_512_4spp():
 
 
 def cfg_nanosuit_whitted_1024_64spp():
-    """BASELINE config 4: nanosuit 1024x1024, 64 spp (as specified)."""
-    return _render_config("nanosuit.rtc", 1024, 1024, 64, 2, 1, "whitted",
+    """BASELINE config 4: nanosuit 1024x1024, 64 spp (as specified).
+
+    Depth = the rtc's own recursion level (0): the reference's traceRTC
+    caps trace() at rtc.recursion_level (raytracer.cpp:29,203-206), and
+    assets/nanosuit.rtc says 0 — no mirror bounces. Round-1/2 benches ran
+    depth 2 (3.4x the spec's work) out of caution; this now matches what
+    `raytracer nanosuit.rtc` actually computes."""
+    return _render_config("nanosuit.rtc", 1024, 1024, 64, 0, 1, "whitted",
                           iters=1)
+
+
+def cfg_nanosuit_ref_400x600():
+    """The reference's OWN nanosuit benchmark (benchmarks.md:4-14):
+    400x600, nanosuit.rtc (depth 0), no textures, 1 spp. Its best
+    published number is 8.9 s on an i5-4670K@4.4GHz ('optimized 8-wide
+    intersect'); vs_reference_8p9s is wall-clock vs that."""
+    import jax
+
+    from orion_tpu.engine import prepare
+    from orion_tpu.render import render
+
+    ps = prepare(f"{ASSETS}/nanosuit.rtc", xres=400, yres=600,
+                 load_textures=False)
+    key = jax.random.key(0)
+
+    def go():
+        return render(ps.scene, ps.camera, key, samples=1, max_depth=0,
+                      light_samples=1, mode="whitted",
+                      intersect=ps.intersect,
+                      shadow_intersect=ps.shadow_intersect)
+
+    dt = _time_calls(go, 10)
+    return {"backend": ps.backend, "seconds": round(dt, 4),
+            "primary_rays_per_s": round(400 * 600 / dt, 1),
+            "vs_reference_8p9s": round(8.9 / dt, 1)}
 
 
 def cfg_cornell_fhd_path_d100():
@@ -376,12 +408,38 @@ def cfg_scaling_weak_1chip():
             "efficiency_8x": rows[-1]["efficiency"]}
 
 
+def cfg_cornell_subdiv2k_path():
+    """Chunked megakernel scaling: cornell midpoint-subdivided 3 levels
+    (2,178 triangles -> five FUSED_CHUNK sweep slices), 512x512 16 spp
+    path trace. Same surfaces as the headline config — the T-scaling cost
+    of the fused sweep in isolation."""
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_fused import make_fused_path_renderer
+    from orion_tpu.scene import load_scene, subdivide_scene
+
+    scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
+    scene = subdivide_scene(scene, levels=3)
+    r.xres = r.yres = 512
+    cam = camera_from_rtc(r)
+    fn = make_fused_path_renderer(scene, cam, samples=16, max_depth=8,
+                                  light_samples=2)
+    dt = _time_calls(lambda: fn(jax.random.key(0)), 5)
+    return {"backend": "fused-pallas-chunked", "seconds": round(dt, 4),
+            "triangles": int(scene.num_triangles),
+            "primary_rays_per_s": round(512 * 512 * 16 / dt, 1)}
+
+
 CONFIGS = {
     # name: (runner, subprocess timeout seconds)
     "cornell_path_512_16spp": (cfg_cornell_path_512_16spp, 900),
     "cornell_whitted_256_1spp": (cfg_cornell_whitted_256_1spp, 600),
     "view_test_whitted_512_4spp": (cfg_view_test_whitted_512_4spp, 600),
     "nanosuit_whitted_1024_64spp": (cfg_nanosuit_whitted_1024_64spp, 1200),
+    "nanosuit_ref_400x600": (cfg_nanosuit_ref_400x600, 600),
+    "cornell_subdiv2k_path_512_16spp": (cfg_cornell_subdiv2k_path, 900),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
     "cornell_prb_train_256_4spp": (cfg_cornell_prb_train_256_4spp, 900),

@@ -11,10 +11,12 @@ Russian roulette, cosine-weighted bounce, and regeneration onto the next
 sample — into ONE kernel launch whose per-ray state never leaves VMEM.
 
 Scope (the engine gates on this): path mode, brute-force intersection
-(T <= FUSED_MAX_TRIS after padding), solid materials (no texture maps),
-one emissive mesh with <= FUSED_MAX_EMITTER_TRIS triangles. This covers
-the Cornell-class scenes of BASELINE configs 2 and 5. Everything else
-renders through the composable wavefront path.
+(T <= FUSED_MAX_TRIS after padding; tables beyond one FUSED_CHUNK sweep
+run as a fori_loop over fixed row slices), solid materials (no texture
+maps), <= FUSED_MAX_EMITTERS emissive meshes of <= FUSED_MAX_EMITTER_TRIS
+triangles each. This covers the Cornell-class scenes of BASELINE configs
+2 and 5 plus mid-size untextured scenes (subdivide_scene stress shapes).
+Everything else renders through the composable wavefront path.
 
 Estimator parity: identical to regen.py / render.py's path mode — the
 reference estimator of raytracer.cpp:105-194 with NEE per PARITY.md —
@@ -59,8 +61,10 @@ from jax.experimental.pallas import tpu as pltpu
 from orion_tpu.ops.intersect import MT_EPS
 from orion_tpu.scene import Scene
 
-FUSED_MAX_TRIS = 512          # single statically-unrolled sweep chunk
-FUSED_MAX_EMITTER_TRIS = 8    # unrolled select chain for light sampling
+FUSED_CHUNK = 512             # rows per statically-shaped sweep slice
+FUSED_MAX_TRIS = 8192         # gate: total rows (chunked fori_loop sweep)
+FUSED_MAX_EMITTER_TRIS = 8    # per-mesh unrolled select chain
+FUSED_MAX_EMITTERS = 8        # emissive meshes (NEE loops per mesh)
 RAY_BLOCK = 512
 BIAS = 1e-3                   # raytracer.cpp:118
 
@@ -112,13 +116,23 @@ _C_KD, _C_KE, _C_GN = 18, 21, 24
 _C_AREA, _C_MESH, _C_PC = 27, 28, 29
 
 
+def _fused_t_pad(T: int) -> int:
+    """Table row padding: multiples of 8 (sublane tile) while one sweep
+    slice suffices; multiples of FUSED_CHUNK once the sweep is chunked
+    (the fori_loop slices fixed [FUSED_CHUNK, 1] columns)."""
+    T_pad = ((max(T, 8) + 7) // 8) * 8
+    if T_pad > FUSED_CHUNK:
+        T_pad = ((T_pad + FUSED_CHUNK - 1) // FUSED_CHUNK) * FUSED_CHUNK
+    return T_pad
+
+
 def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     """Host-side [T_pad, 32] table: geometry + shading + emitter columns.
 
     Padding rows are degenerate (e1 = e2 = 0 => MT det 0 => never hit).
     """
     T = int(scene.num_triangles)
-    T_pad = ((max(T, 8) + 7) // 8) * 8
+    T_pad = _fused_t_pad(T)
     tab = np.zeros((T_pad, 32), np.float32)
 
     v0 = np.asarray(scene.tri_v0)[:T]
@@ -150,7 +164,7 @@ def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
     back to scene.mat_diffuse / scene.mat_emissive (the PRB oracle path
     and anything that wants end-to-end AD through the replica)."""
     T = int(scene.num_triangles)
-    T_pad = ((max(T, 8) + 7) // 8) * 8
+    T_pad = _fused_t_pad(T)
     tab = jnp.zeros((T_pad, 32), jnp.float32)
 
     v0 = scene.tri_v0[:T]
@@ -177,9 +191,9 @@ def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
     return tab
 
 
-def _emitter_consts(scene: Scene):
-    """Python constants for the (single) emissive mesh's triangles."""
-    em = int(np.asarray(scene.emissive_mesh_ids)[0])
+def _emitter_consts(scene: Scene, index: int = 0):
+    """Python constants for one emissive mesh's triangles."""
+    em = int(np.asarray(scene.emissive_mesh_ids)[index])
     start = int(np.asarray(scene.mesh_tri_start)[em])
     count = int(np.asarray(scene.mesh_tri_count)[em])
     v0 = np.asarray(scene.tri_v0)[start:start + count]
@@ -192,63 +206,142 @@ def _emitter_consts(scene: Scene):
     return em, count, v0, e1, e2, weight
 
 
+def _emitters_consts(scene: Scene):
+    """All emissive meshes' constants (the reference's NEE loops every
+    emissive mesh, raytracer.cpp:133-159)."""
+    return [_emitter_consts(scene, i) for i in range(scene.num_emissive)]
+
+
 # ---------------------------------------------------------------------------
 # shared estimator builders (kernel body == jnp replica == PRB replay)
 # ---------------------------------------------------------------------------
 
-def _make_geom(col, T_pad):
-    """Geometry sweeps over the triangle table via the accessor `col(c)`
-    ([T_pad, 1] column). Returns (mt_planes, sweep, interp_n)."""
-    row_f = jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0)
+def _mt_planes_at(colk, o, d):
+    """Möller-Trumbore planes over one table slice via accessor `colk(c)`
+    ([rows, 1] column): (t_masked, u, v) [rows, RB] planes."""
 
     def cols3(c):
-        return col(c), col(c + 1), col(c + 2)
+        return colk(c), colk(c + 1), colk(c + 2)
 
-    def mt_planes(o, d):
-        """Full MT: (t_masked, u, v) [T_pad, RB] planes."""
-        v0x, v0y, v0z = cols3(_C_V0)
-        e1x, e1y, e1z = cols3(_C_E1)
-        e2x, e2y, e2z = cols3(_C_E2)
-        ox, oy, oz = o
-        dx, dy, dz = d
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        inv_det = 1.0 / det
-        tx = ox - v0x
-        ty = oy - v0y
-        tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1z - tz * e1y
-        qy = tz * e1x - tx * e1z
-        qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
-            & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-        return jnp.where(ok, t, _BIG), u, v
+    v0x, v0y, v0z = cols3(_C_V0)
+    e1x, e1y, e1z = cols3(_C_E1)
+    e2x, e2y, e2z = cols3(_C_E2)
+    ox, oy, oz = o
+    dx, dy, dz = d
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / det
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
+        & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    return jnp.where(ok, t, _BIG), u, v
 
-    def sweep(o, d, attr_cols):
-        """Nearest hit + winner attributes.
 
-        Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
-        """
-        t, u, v = mt_planes(o, d)
+def _make_geom(col, T_pad, *, chunk=None, col_dyn=None):
+    """Geometry sweeps over the triangle table via the accessor `col(c)`
+    ([T_pad, 1] column). Returns (mt_planes, sweep); `sweep.any_hit(o, d)`
+    is the occlusion-only form ([1, RB] bool).
+
+    chunk/col_dyn: when T_pad > chunk, sweeps run as a lax.fori_loop over
+    fixed [chunk, RB] row slices instead of one [T_pad, RB] plane set
+    (whose VMEM cost scales with T). col_dyn(off, c) must return the
+    [chunk, 1] column slice starting at row `off` (Pallas:
+    tri_ref[pl.ds(off, chunk), c:c+1]; jnp replica: lax.dynamic_slice).
+    In chunked mode `mt_planes` is None — full-table planes would defeat
+    the point — so callers needing occlusion use sweep.any_hit.
+    """
+    chunked = chunk is not None and T_pad > chunk
+    if chunked:
+        assert T_pad % chunk == 0 and col_dyn is not None
+        n_chunks = T_pad // chunk
+        rows = chunk
+    else:
+        rows = T_pad
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+    def _slice_sweep(colk, o, d, attr_cols):
+        """One slice: (t_min, u, v, got) with winner picked in-slice."""
+        t, u, v = _mt_planes_at(colk, o, d)
         t_min = jnp.min(t, axis=0, keepdims=True)
-        hit = t_min < _BIG
         row_min = jnp.min(jnp.where(t == t_min, row_f, jnp.int32(2**30)),
                           axis=0, keepdims=True)
-        sel = row_f == row_min                         # [T_pad, RB]
+        sel = row_f == row_min                         # [rows, RB]
 
         def pick_plane(p):
             return jnp.sum(jnp.where(sel, p, 0.0), axis=0, keepdims=True)
 
-        got = {c: pick_plane(jnp.broadcast_to(col(c), t.shape))
+        got = {c: pick_plane(jnp.broadcast_to(colk(c), t.shape))
                for c in attr_cols}
-        return t_min, hit, pick_plane(u), pick_plane(v), got
+        return t_min, pick_plane(u), pick_plane(v), got
 
-    return mt_planes, sweep
+    if not chunked:
+        def mt_planes(o, d):
+            return _mt_planes_at(col, o, d)
+
+        def sweep(o, d, attr_cols):
+            """Nearest hit + winner attributes.
+
+            Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
+            """
+            t_min, u, v, got = _slice_sweep(col, o, d, attr_cols)
+            return t_min, t_min < _BIG, u, v, got
+
+        def any_hit(o, d):
+            t, _, _ = mt_planes(o, d)
+            return jnp.min(t, axis=0, keepdims=True) < _BIG
+
+        sweep.any_hit = any_hit
+        return mt_planes, sweep
+
+    def sweep(o, d, attr_cols):
+        attr_cols = tuple(attr_cols)
+        shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
+        zero = jnp.zeros(shape, jnp.float32)
+
+        def body(k, carry):
+            t_b, u_b, v_b, got_b = carry
+            off = k * chunk
+
+            def colk(c):
+                return col_dyn(off, c)
+
+            t_min, u, v, got = _slice_sweep(colk, o, d, attr_cols)
+            better = t_min < t_b
+            new_got = tuple(jnp.where(better, got[c], g)
+                            for c, g in zip(attr_cols, got_b))
+            return (jnp.where(better, t_min, t_b),
+                    jnp.where(better, u, u_b),
+                    jnp.where(better, v, v_b), new_got)
+
+        init = (jnp.full(shape, _BIG), zero, zero,
+                tuple(zero for _ in attr_cols))
+        t_b, u_b, v_b, got_b = jax.lax.fori_loop(0, n_chunks, body, init)
+        return (t_b, t_b < _BIG, u_b, v_b,
+                dict(zip(attr_cols, got_b)))
+
+    def any_hit(o, d):
+        shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
+
+        def body(k, occ):
+            off = k * chunk
+            t, _, _ = _mt_planes_at(lambda c: col_dyn(off, c), o, d)
+            return occ | (jnp.min(t, axis=0, keepdims=True) < _BIG)
+
+        return jax.lax.fori_loop(0, n_chunks, body,
+                                 jnp.zeros(shape, bool))
+
+    sweep.any_hit = any_hit
+    return None, sweep
 
 
 def _interp_n(u, v, got, c0, c1, c2):
@@ -295,17 +388,21 @@ def _make_primary(cam, seed, pix, W, H):
 
 
 def _make_nee(sweep, emitter, seed, pix, light_samples):
-    """NEE against the emissive mesh (raytracer.cpp:133-159): one shadow
-    sweep per light sample; contribution iff the NEAREST shadow hit lands
-    on the emitter mesh.
+    """NEE against the emissive meshes (raytracer.cpp:133-159): one shadow
+    sweep per (mesh, light sample); contribution iff the NEAREST shadow
+    hit lands on the sampled mesh.
+
+    `emitter` is one _emitter_consts tuple or a list of them (the
+    reference loops every emissive mesh, sampling L points from each).
 
     Returns nee(samp, depth, h, gn, sn, hit) -> (A3, sum_scale):
-      A_ch      = sum_ls ske_ch * scale_ls   (NEE radiance sans the
+      A_ch      = sum_{mesh,ls} ske_ch * scale   (NEE radiance sans the
                   surface kd factor: r_nee_ch = kd_ch * A_ch)
-      sum_scale = sum_ls scale_ls            (d r_nee_ch / d ske_ch — the
-                  PRB kernel's mat_emissive adjoint at the emitter)
+      sum_scale = sum scale                      (d r_nee_ch / d ske_ch —
+                  the PRB kernel's mat_emissive adjoint; only meaningful
+                  under PRB's single-emitter gate)
     """
-    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight = emitter
+    emitters = emitter if isinstance(emitter, list) else [emitter]
     inv_ls = np.float32(1.0 / light_samples)
 
     def nee(samp, depth, h, gn, sn, hit):
@@ -317,62 +414,79 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         soz = hz + BIAS * gnz
         A = [jnp.zeros_like(hx) for _ in range(3)]
         sum_scale = jnp.zeros_like(hx)
-        for ls in range(light_samples):
-            u0_, u1_, u2_, _ = _pcg4d(
-                pix, samp * jnp.int32(131071) + depth,
-                jnp.full_like(pix, 0x11 + 0x101 * ls),
-                jnp.broadcast_to(seed, pix.shape))
-            ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
-            # triangle choice: uniform by count (mesh.hpp:178-184)
-            sel_t = jnp.minimum((ut * em_count).astype(jnp.int32),
-                                em_count - 1)
-            lv0x = jnp.zeros_like(ut)
-            lv0y, lv0z = jnp.zeros_like(ut), jnp.zeros_like(ut)
-            le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
-            le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
-            lwt = jnp.zeros_like(ut)
-            for k in range(em_count):
-                m = (sel_t == k).astype(jnp.float32)
-                lv0x += m * np.float32(em_v0[k, 0])
-                lv0y += m * np.float32(em_v0[k, 1])
-                lv0z += m * np.float32(em_v0[k, 2])
-                le1x += m * np.float32(em_e1[k, 0])
-                le1y += m * np.float32(em_e1[k, 1])
-                le1z += m * np.float32(em_e1[k, 2])
-                le2x += m * np.float32(em_e2[k, 0])
-                le2y += m * np.float32(em_e2[k, 1])
-                le2z += m * np.float32(em_e2[k, 2])
-                lwt += m * np.float32(em_weight[k])
-            # parallelogram fold (geometry.hpp:159-171)
-            flip = (ua + ub) > 1.0
-            a = jnp.where(flip, 1.0 - ua, ua)
-            b = jnp.where(flip, 1.0 - ub, ub)
-            tx_ = lv0x + a * le1x + b * le2x
-            ty_ = lv0y + a * le1y + b * le2y
-            tz_ = lv0z + a * le1z + b * le2z
+        for mi, (em_mesh, em_count, em_v0, em_e1, em_e2,
+                 em_weight) in enumerate(emitters):
+            for ls in range(light_samples):
+                A, sum_scale = one_mesh_sample(
+                    samp, depth, (hx, hy, hz), (sox, soy, soz),
+                    (snx, sny, snz), hit, A, sum_scale,
+                    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight,
+                    # RNG site: mi == 0 keeps round-1/2 streams bitwise
+                    ls + light_samples * mi)
+        return A, sum_scale
 
-            sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
-            st, s_hit, su, sv, s_got = sweep(
-                (sox, soy, soz), (sdx, sdy, sdz),
-                tuple(range(_C_N0, _C_N0 + 9))
-                + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
-            visible = (s_hit & hit
-                       & (s_got[_C_MESH] == np.float32(em_mesh)))
-            lnx, lny, lnz = _interp_n(su, sv, s_got,
-                                      _C_N0, _C_N1, _C_N2)
-            # brdf_eval (material.hpp:95-105): two-cosine geometry
-            # term, 1/(1+d^2) falloff, weight = triArea*triCount
-            d2 = sdx * sdx + sdy * sdy + sdz * sdz
-            ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
-            cos_s = snx * ldx + sny * ldy + snz * ldz
-            cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
-            geom = jnp.maximum(cos_s * cos_l, 0.0)
-            scale = jnp.where(visible,
-                              geom * lwt / (1.0 + d2) * inv_ls, 0.0)
-            A[0] += s_got[_C_KE] * scale
-            A[1] += s_got[_C_KE + 1] * scale
-            A[2] += s_got[_C_KE + 2] * scale
-            sum_scale += scale
+    def one_mesh_sample(samp, depth, h, so, sn, hit, A, sum_scale,
+                        em_mesh, em_count, em_v0, em_e1, em_e2,
+                        em_weight, site):
+        hx, hy, hz = h
+        sox, soy, soz = so
+        snx, sny, snz = sn
+        ls = site  # RNG site index (mesh-major past the first mesh)
+        u0_, u1_, u2_, _ = _pcg4d(
+            pix, samp * jnp.int32(131071) + depth,
+            jnp.full_like(pix, 0x11 + 0x101 * ls),
+            jnp.broadcast_to(seed, pix.shape))
+        ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
+        # triangle choice: uniform by count (mesh.hpp:178-184)
+        sel_t = jnp.minimum((ut * em_count).astype(jnp.int32),
+                            em_count - 1)
+        lv0x = jnp.zeros_like(ut)
+        lv0y, lv0z = jnp.zeros_like(ut), jnp.zeros_like(ut)
+        le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
+        le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
+        lwt = jnp.zeros_like(ut)
+        for k in range(em_count):
+            m = (sel_t == k).astype(jnp.float32)
+            lv0x += m * np.float32(em_v0[k, 0])
+            lv0y += m * np.float32(em_v0[k, 1])
+            lv0z += m * np.float32(em_v0[k, 2])
+            le1x += m * np.float32(em_e1[k, 0])
+            le1y += m * np.float32(em_e1[k, 1])
+            le1z += m * np.float32(em_e1[k, 2])
+            le2x += m * np.float32(em_e2[k, 0])
+            le2y += m * np.float32(em_e2[k, 1])
+            le2z += m * np.float32(em_e2[k, 2])
+            lwt += m * np.float32(em_weight[k])
+        # parallelogram fold (geometry.hpp:159-171)
+        flip = (ua + ub) > 1.0
+        a = jnp.where(flip, 1.0 - ua, ua)
+        b = jnp.where(flip, 1.0 - ub, ub)
+        tx_ = lv0x + a * le1x + b * le2x
+        ty_ = lv0y + a * le1y + b * le2y
+        tz_ = lv0z + a * le1z + b * le2z
+
+        sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
+        st, s_hit, su, sv, s_got = sweep(
+            (sox, soy, soz), (sdx, sdy, sdz),
+            tuple(range(_C_N0, _C_N0 + 9))
+            + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
+        visible = (s_hit & hit
+                   & (s_got[_C_MESH] == np.float32(em_mesh)))
+        lnx, lny, lnz = _interp_n(su, sv, s_got,
+                                  _C_N0, _C_N1, _C_N2)
+        # brdf_eval (material.hpp:95-105): two-cosine geometry
+        # term, 1/(1+d^2) falloff, weight = triArea*triCount
+        d2 = sdx * sdx + sdy * sdy + sdz * sdz
+        ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
+        cos_s = snx * ldx + sny * ldy + snz * ldz
+        cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+        geom = jnp.maximum(cos_s * cos_l, 0.0)
+        scale = jnp.where(visible,
+                          geom * lwt / (1.0 + d2) * inv_ls, 0.0)
+        A[0] += s_got[_C_KE] * scale
+        A[1] += s_got[_C_KE + 1] * scale
+        A[2] += s_got[_C_KE + 2] * scale
+        sum_scale += scale
         return A, sum_scale
 
     return nee
@@ -417,7 +531,8 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
-                     max_depth, light_samples, emitter, samp_slots=0):
+                     max_depth, light_samples, emitter, samp_slots=0,
+                     col_dyn=None):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
@@ -428,8 +543,11 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
     samp_slots > 0 appends 3*samp_slots per-SAMPLE radiance planes to the
     carry (one-hot accumulated by the lane's current sample index): the
     L_s record the PRB replay kernel initializes its remaining-radiance
-    state from at each sample regeneration (ops/pallas_prb.py)."""
-    _, sweep = _make_geom(col, T_pad)
+    state from at each sample regeneration (ops/pallas_prb.py).
+
+    col_dyn: dynamic row-slice accessor enabling the chunked sweep for
+    T_pad > FUSED_CHUNK (see _make_geom)."""
+    _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK, col_dyn=col_dyn)
     primary = _make_primary(cam, seed, pix, W, H)
     nee = _make_nee(sweep, emitter, seed, pix, light_samples)
     S = jnp.int32(samples)
@@ -547,6 +665,10 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
         def col(c):
             return tri_ref[:, c:c + 1]                     # [T_pad, 1]
 
+        def col_dyn(off, c):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), c:c + 1]    # [CHUNK, 1]
+
         # base_ref: this shard's first global pixel (0 single-chip; a
         # chip's tile offset under parallel/fused_shard's ray DP)
         pix0 = pl.program_id(0) * rb + base_ref[0]
@@ -556,7 +678,7 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
 
         body, cond, init = _make_regen_body(
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
-            light_samples, emitter)
+            light_samples, emitter, col_dyn=col_dyn)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
@@ -568,15 +690,19 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
 
 
 def fused_path_supported(scene: Scene) -> bool:
-    """Engine gate: untextured, single small emissive mesh, small T."""
-    T_pad = ((int(scene.num_triangles) + 7) // 8) * 8
-    if T_pad > FUSED_MAX_TRIS or scene.num_emissive != 1:
+    """Engine gate: untextured, small emissive meshes, T within the
+    chunked-sweep cap."""
+    if _fused_t_pad(int(scene.num_triangles)) > FUSED_MAX_TRIS:
+        return False
+    if not (1 <= scene.num_emissive <= FUSED_MAX_EMITTERS):
         return False
     if int(np.asarray(scene.tex_hw).max()) > 1:
         return False
-    em = int(np.asarray(scene.emissive_mesh_ids)[0])
-    if int(np.asarray(scene.mesh_tri_count)[em]) > FUSED_MAX_EMITTER_TRIS:
-        return False
+    for i in range(scene.num_emissive):
+        em = int(np.asarray(scene.emissive_mesh_ids)[i])
+        if (int(np.asarray(scene.mesh_tri_count)[em])
+                > FUSED_MAX_EMITTER_TRIS):
+            return False
     maps = np.concatenate([np.asarray(scene.mat_map_diffuse),
                            np.asarray(scene.mat_map_specular),
                            np.asarray(scene.mat_map_bump)])
@@ -647,7 +773,7 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
 
     tri_tab = jnp.asarray(pack_fused_tri_table(scene))
     T_pad = tri_tab.shape[0]
-    emitter = _emitter_consts(scene)
+    emitter = _emitters_consts(scene)
 
     cam_vec = camera_vec(camera)
     call = build_fused_call(T_pad, W, H, samples, max_depth, light_samples,
@@ -692,7 +818,7 @@ def fused_reference_render(scene: Scene, camera, key, *, samples: int,
     if tab is None:
         tab = pack_fused_tri_table_jnp(scene)
     T_pad = tab.shape[0]
-    emitter = _emitter_consts(scene)
+    emitter = _emitters_consts(scene)
     cv = camera_vec(camera)
     seed = seed_scalar(key)[0]
 
@@ -701,12 +827,16 @@ def fused_reference_render(scene: Scene, camera, key, *, samples: int,
     def col(c):
         return tab[:, c:c + 1]
 
+    def col_dyn(off, c):
+        return jax.lax.dynamic_slice(tab, (off, c), (FUSED_CHUNK, 1))
+
     def cam(i):
         return cv[i]
 
     body, _, init = _make_regen_body(col, cam, seed, pix, n_pix, T_pad,
                                      W, H, samples, max_depth,
-                                     light_samples, emitter)
+                                     light_samples, emitter,
+                                     col_dyn=col_dyn)
 
     carry = init(jnp.ones((1, n_pix), bool))
     n_steps = samples * (max_depth + 1)

@@ -67,8 +67,8 @@ from orion_tpu.ops.pallas_fused import (
     _BOUNCE_ATTRS, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_PC,
     _C_N0, _C_N1, _C_N2, _cosine_bounce, _emitter_consts, _interp_n,
     _make_geom, _make_nee, _make_primary, _make_regen_body, _norm3,
-    _rr_bounce_draws, BIAS, RAY_BLOCK, camera_vec, fused_path_supported,
-    pack_fused_tri_table, seed_scalar)
+    _rr_bounce_draws, BIAS, FUSED_CHUNK, RAY_BLOCK, camera_vec,
+    fused_path_supported, pack_fused_tri_table, seed_scalar)
 from orion_tpu.scene import Scene
 
 M_LANES = 128   # materials ride accumulator lanes
@@ -76,9 +76,11 @@ MAX_SAMPLES = 32  # per-sample radiance planes live in the carry
 
 
 def fused_train_supported(scene: Scene, samples: int = 1) -> bool:
-    """Gate: fused-path scene, <= M_LANES materials, bounded spp."""
+    """Gate: fused-path scene, <= M_LANES materials, bounded spp, ONE
+    emissive mesh (the replay's mat_emissive adjoint scatters to a single
+    emitter lane; multi-emitter scenes train through the wavefront)."""
     return (fused_path_supported(scene) and scene.num_meshes <= M_LANES
-            and samples <= MAX_SAMPLES)
+            and samples <= MAX_SAMPLES and scene.num_emissive == 1)
 
 
 def _ls_rows(samples: int) -> int:
@@ -100,13 +102,17 @@ def _make_fwd_ls_kernel(T_pad: int, W: int, H: int, samples: int,
         def col(c):
             return tri_ref[:, c:c + 1]
 
+        def col_dyn(off, c):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), c:c + 1]
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
         body, cond, init = _make_regen_body(
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
-            light_samples, emitter, samp_slots=samples)
+            light_samples, emitter, samp_slots=samples, col_dyn=col_dyn)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
@@ -144,11 +150,16 @@ def _make_replay_kernel(T_pad: int, W: int, H: int, samples: int,
         def col(c):
             return tri_ref[:, c:c + 1]
 
+        def col_dyn(off, c):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), c:c + 1]
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
-        _, sweep = _make_geom(col, T_pad)
+        _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
+                              col_dyn=col_dyn)
         primary = _make_primary(cam, seed, pix, W, H)
         nee = _make_nee(sweep, emitter, seed, pix, light_samples)
 

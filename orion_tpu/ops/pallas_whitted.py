@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.ops.pallas_fused import (
     _BIG, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_N0, _C_N1, _C_N2,
-    _interp_n, _make_geom, _make_primary, _norm3, BIAS, FUSED_MAX_TRIS,
-    RAY_BLOCK, camera_vec, pack_fused_tri_table, seed_scalar)
+    _fused_t_pad, _interp_n, _make_geom, _make_primary, _norm3, BIAS,
+    FUSED_CHUNK, FUSED_MAX_TRIS, RAY_BLOCK, camera_vec,
+    pack_fused_tri_table, seed_scalar)
 from orion_tpu.scene import Scene
 
 MAX_LIGHTS = 8
@@ -79,8 +80,7 @@ def _lights_consts(scene: Scene):
 
 def fused_whitted_supported(scene: Scene) -> bool:
     """Gate: solid-material whitted scene with few lights, small T."""
-    T_pad = ((int(scene.num_triangles) + 7) // 8) * 8
-    if T_pad > FUSED_MAX_TRIS:
+    if _fused_t_pad(int(scene.num_triangles)) > FUSED_MAX_TRIS:
         return False
     if not (1 <= int(scene.num_lights) <= MAX_LIGHTS):
         return False
@@ -114,18 +114,21 @@ def _make_whitted_kernel(T_pad: int, W: int, H: int, samples: int,
         def col(c):
             return tri_ref[:, c:c + 1]
 
+        def col_dyn(off, c):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), c:c + 1]
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
-        mt_planes, sweep = _make_geom(col, T_pad)
+        _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
+                              col_dyn=col_dyn)
         primary = _make_primary(cam, seed, pix, W, H)
         S = jnp.int32(samples)
 
-        def occluded(o, d):
-            """ANY hit at any t blocks (raytracer.cpp:196-201 quirk)."""
-            t, _, _ = mt_planes(o, d)
-            return jnp.min(t, axis=0, keepdims=True) < _BIG
+        # ANY hit at any t blocks (raytracer.cpp:196-201 quirk)
+        occluded = sweep.any_hit
 
         def body(carry):
             (ox, oy, oz, dx, dy, dz, tr, tg, tb,

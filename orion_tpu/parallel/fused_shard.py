@@ -32,6 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = jax.shard_map
 
 from orion_tpu.ops.pallas_fused import (RAY_BLOCK, _emitter_consts,
+                                        _emitters_consts,
                                         build_fused_call, camera_vec,
                                         fused_path_supported,
                                         pack_fused_tri_table,
@@ -76,7 +77,7 @@ def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
     local = _tile(n_pix, n_chips, ray_block)
 
     tri_tab = jnp.asarray(pack_fused_tri_table(scene))
-    emitter = _emitter_consts(scene)
+    emitter = _emitters_consts(scene)
     call = build_fused_call(tri_tab.shape[0], W, H, samples, max_depth,
                             light_samples, emitter, n_pix, local,
                             ray_block, interpret)

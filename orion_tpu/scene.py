@@ -338,6 +338,104 @@ def make_synthetic_scene(num_triangles: int, seed: int = 0,
     )
 
 
+def subdivide_scene(scene: Scene, levels: int = 1,
+                    skip_emissive: bool = True) -> Scene:
+    """4-to-1 midpoint subdivision of every triangle: a geometrically
+    IDENTICAL scene with 4^levels the triangle count.
+
+    The workhorse for triangle-count scaling studies (the chunked fused
+    sweep, BVH vs brute crossover): the rendered image is the same
+    surface set, so estimators agree up to sampling noise while T grows.
+    Corner normals/uvs are interpolated unnormalized at edge midpoints —
+    barycentric interpolation over a child reproduces the parent's
+    interpolant exactly. skip_emissive leaves emissive meshes
+    unsubdivided so the NEE weight (triArea * triCount, mesh.hpp:178-184)
+    and the fused kernel's per-emitter unrolled select stay unchanged.
+    """
+    import jax.numpy as jnp
+
+    for _ in range(levels):
+        T = scene.num_triangles
+        em = set(int(i) for i in np.asarray(scene.emissive_mesh_ids)
+                 if i >= 0) if skip_emissive else set()
+        starts = np.asarray(scene.mesh_tri_start)
+        counts = np.asarray(scene.mesh_tri_count)
+        f = {k: (np.asarray(getattr(scene, k))[:T]).astype(np.float32)
+             for k in ("tri_v0", "tri_e1", "tri_e2", "n0", "n1", "n2",
+                       "uv0", "uv1", "uv2")}
+        mat = np.asarray(scene.tri_mat)[:T]
+
+        out = {k: [] for k in f}
+        out_mat, new_starts, new_counts = [], [], []
+        pos = 0
+        for m in range(scene.num_meshes):
+            s, c = int(starts[m]), int(counts[m])
+            new_starts.append(pos)
+            sl = slice(s, s + c)
+            if m in em or c == 0:
+                for k in f:
+                    out[k].append(f[k][sl])
+                out_mat.append(mat[sl])
+                pos += c
+                new_counts.append(c)
+                continue
+            v0, e1, e2 = f["tri_v0"][sl], f["tri_e1"][sl], f["tri_e2"][sl]
+            # children in (corner a, corner b, corner c, center) order;
+            # each stored as (v0', e1', e2') with e = half-edges
+            ch_v0 = [v0, v0 + 0.5 * e1, v0 + 0.5 * e2, v0 + 0.5 * e1]
+            ch_e1 = [0.5 * e1, 0.5 * e1, 0.5 * e1, 0.5 * e2]
+            ch_e2 = [0.5 * e2, 0.5 * e2, 0.5 * e2, 0.5 * (e2 - e1)]
+            for k, ch in (("tri_v0", ch_v0), ("tri_e1", ch_e1),
+                          ("tri_e2", ch_e2)):
+                out[k].append(np.stack(ch, 1).reshape(-1, 3))
+            # corner attributes: a=corner0, b=corner1, c=corner2;
+            # child corners follow the (v0', v0'+e1', v0'+e2') layout
+            for base in ("n", "uv"):
+                a = f[f"{base}0"][sl]
+                b = f[f"{base}1"][sl]
+                cc = f[f"{base}2"][sl]
+                ab, ac, bc = (0.5 * (a + b), 0.5 * (a + cc),
+                              0.5 * (b + cc))
+                corners = [(a, ab, ac), (ab, b, bc), (ac, bc, cc),
+                           (ab, bc, ac)]
+                for ci in range(3):
+                    out[f"{base}{ci}"].append(
+                        np.stack([corners[ch][ci] for ch in range(4)],
+                                 1).reshape(-1, a.shape[1]))
+            out_mat.append(np.repeat(mat[sl], 4))
+            pos += 4 * c
+            new_counts.append(4 * c)
+
+        new_T = pos
+        T_pad = max(_round_up(new_T, LANE), LANE)
+
+        def padded(chunks, width):
+            a = np.concatenate(chunks, axis=0)
+            full = np.zeros((T_pad, width), np.float32)
+            full[:new_T] = a
+            return jnp.asarray(full)
+
+        valid = np.zeros(T_pad, bool)
+        valid[:new_T] = True
+        mat_full = np.zeros(T_pad, np.int32)
+        mat_full[:new_T] = np.concatenate(out_mat)
+        scene = dataclasses.replace(
+            scene,
+            tri_v0=padded(out["tri_v0"], 3),
+            tri_e1=padded(out["tri_e1"], 3),
+            tri_e2=padded(out["tri_e2"], 3),
+            n0=padded(out["n0"], 3), n1=padded(out["n1"], 3),
+            n2=padded(out["n2"], 3),
+            uv0=padded(out["uv0"], 2), uv1=padded(out["uv1"], 2),
+            uv2=padded(out["uv2"], 2),
+            tri_mat=jnp.asarray(mat_full),
+            tri_valid=jnp.asarray(valid),
+            mesh_tri_start=jnp.asarray(np.array(new_starts, np.int32)),
+            mesh_tri_count=jnp.asarray(np.array(new_counts, np.int32)),
+            num_triangles=new_T)
+    return scene
+
+
 def load_scene(rtc_path: str | Path, pad_to: int = LANE,
                load_textures: bool = True) -> Tuple[Scene, RTCData]:
     """Parse an .rtc file and load its OBJ scene (traceRTC's setup phase,

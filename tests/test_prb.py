@@ -196,3 +196,30 @@ def test_fit_use_prb_true_raises_outside_gate(setup):
                                intersect=None)
     with pytest.raises(ValueError, match="PRB gate"):
         fit(ps, target, params=("tri_v0",), steps=1, use_prb=True)
+
+
+def test_prb_chunked_sweep_matches_ad_oracle(setup):
+    """T_pad > FUSED_CHUNK routes every sweep (forward, NEE shadow,
+    replay) through the fori_loop slices; the hand-derived adjoints must
+    still match AD of the replica (which chunks identically)."""
+    from orion_tpu.ops.pallas_fused import FUSED_CHUNK, _fused_t_pad
+    from orion_tpu.scene import subdivide_scene
+
+    scene, cam, key, target = setup
+    s2 = subdivide_scene(scene, levels=2)
+    assert _fused_t_pad(s2.num_triangles) > FUSED_CHUNK
+    assert fused_train_supported(s2, SAMPLES)
+
+    loss_o, g_o = oracle_grads(s2, cam, key, target)
+    step = make_fused_train_step(s2, cam, target, samples=SAMPLES,
+                                 max_depth=DEPTH, light_samples=LS,
+                                 ray_block=128)
+    loss_k, g_k = step(key)
+
+    assert float(loss_k) == pytest.approx(float(loss_o), rel=1e-5)
+    for name in ("mat_diffuse", "mat_emissive"):
+        np.testing.assert_allclose(
+            np.asarray(g_k[name]), np.asarray(g_o[name]),
+            rtol=2e-4, atol=1e-7,
+            err_msg=f"chunked PRB adjoint for {name} vs AD oracle")
+    assert float(np.abs(np.asarray(g_o["mat_diffuse"])).max()) > 1e-6

@@ -56,3 +56,49 @@ def test_scene_is_pytree(cornell_scene):
     assert len(leaves) > 20
     # static fields are not leaves
     assert all(not isinstance(l, int) for l in leaves)
+
+
+def test_subdivide_scene_preserves_geometry():
+    """4-to-1 midpoint subdivision: same surfaces, 4x the triangles
+    (emissive meshes skipped), per-mesh area sums preserved, child
+    normals parallel to parents."""
+    import numpy as np
+
+    from orion_tpu.scene import load_scene, subdivide_scene, triangle_areas
+
+    scene, _ = load_scene("/root/reference/assets/cornell-box.rtc")
+    s2 = subdivide_scene(scene, levels=1)
+
+    counts = np.asarray(scene.mesh_tri_count)
+    counts2 = np.asarray(s2.mesh_tri_count)
+    em = set(int(i) for i in np.asarray(scene.emissive_mesh_ids) if i >= 0)
+    for m in range(scene.num_meshes):
+        expect = counts[m] if m in em else 4 * counts[m]
+        assert counts2[m] == expect
+
+    def mesh_area(s, m):
+        st = int(np.asarray(s.mesh_tri_start)[m])
+        c = int(np.asarray(s.mesh_tri_count)[m])
+        e1 = np.asarray(s.tri_e1)[st:st + c]
+        e2 = np.asarray(s.tri_e2)[st:st + c]
+        return float(triangle_areas(e1, e2).sum())
+
+    for m in range(scene.num_meshes):
+        assert mesh_area(s2, m) == pytest.approx(mesh_area(scene, m),
+                                                 rel=1e-5)
+
+    # children lie in the parent plane: normals parallel, area quartered
+    e1 = np.asarray(scene.tri_e1)[:scene.num_triangles]
+    e2 = np.asarray(scene.tri_e2)[:scene.num_triangles]
+    parent_n = np.cross(e1, e2)
+    st0 = int(np.asarray(scene.mesh_tri_start)[0])
+    st2 = int(np.asarray(s2.mesh_tri_start)[0])
+    c1 = np.asarray(s2.tri_e1)[st2:st2 + 4]
+    c2 = np.asarray(s2.tri_e2)[st2:st2 + 4]
+    child_n = np.cross(c1, c2)
+    for k in range(4):
+        cosang = (child_n[k] @ parent_n[st0]) / (
+            np.linalg.norm(child_n[k]) * np.linalg.norm(parent_n[st0]))
+        assert cosang == pytest.approx(1.0, abs=1e-5)
+        assert np.linalg.norm(child_n[k]) == pytest.approx(
+            np.linalg.norm(parent_n[st0]) / 4.0, rel=1e-5)

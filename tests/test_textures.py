@@ -121,3 +121,43 @@ def test_normal_mapping_changes_shading(assets_dir):
     b = np.asarray(render(ps2.scene, ps2.camera, key, samples=1, max_depth=2,
                           intersect=ps2.intersect, normal_maps=True))
     np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+class TestDDS:
+    def test_uvmap_dds_decodes(self):
+        """The reference's bundled assets/uvmap.DDS (512x512 DXT3)."""
+        from orion_tpu.io.image import load_dds, load_texture
+
+        img = load_dds("/root/reference/assets/uvmap.DDS")
+        assert img.shape == (512, 512, 3)
+        assert img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        assert img.std() > 0.05  # non-constant content
+        # extension dispatch through the normal texture path
+        via = load_texture("/root/reference/assets/uvmap.DDS")
+        np.testing.assert_array_equal(via, img)
+
+    def test_dxt1_synthetic_block(self):
+        """One hand-built DXT1 block: solid c0 (all indices 0)."""
+        import struct
+
+        from orion_tpu.io.image import load_dds
+
+        c0 = (31 << 11) | (0 << 5) | 0          # pure red RGB565
+        c1 = 0
+        block = struct.pack("<HHI", c0, c1, 0)  # all texels -> palette[0]
+        hdr = bytearray(128)
+        hdr[0:4] = b"DDS "
+        struct.pack_into("<I", hdr, 4, 124)     # header size
+        struct.pack_into("<I", hdr, 12, 4)      # height
+        struct.pack_into("<I", hdr, 16, 4)      # width
+        struct.pack_into("<I", hdr, 80, 0x4)    # DDPF_FOURCC
+        hdr[84:88] = b"DXT1"
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".dds") as f:
+            f.write(bytes(hdr) + block)
+            f.flush()
+            img = load_dds(f.name)
+        assert img.shape == (4, 4, 3)
+        np.testing.assert_allclose(img[..., 0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(img[..., 1:], 0.0, atol=1e-6)
