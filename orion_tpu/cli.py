@@ -34,8 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max bounce depth (default: rtc recursion level)")
     p.add_argument("--mode", choices=["whitted", "path"], default=None,
                    help="Force render mode (default: auto from rtc lights)")
-    p.add_argument("--backend", choices=["brute", "bvh"], default=None,
-                   help="Force intersection backend (default: auto by size)")
+    p.add_argument("--backend", choices=["brute", "bvh", "fused"],
+                   default=None,
+                   help="Force intersection backend (default: auto by "
+                        "size; 'fused' pins the VMEM megakernel and "
+                        "errors when the scene is outside its gate)")
     p.add_argument("--strategy", choices=["median", "middle", "sah"],
                    default="sah", help="BVH split strategy")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
@@ -68,6 +71,43 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _maybe_fused(ps, args, max_depth):
+    """(renderer, backend_name) when the VMEM megakernel should carry the
+    render: --backend fused pins it (error outside its gate); with no
+    backend forced, supported scenes route to it automatically — the
+    plain `orion_tpu scene.rtc` invocation gets the fast path the bench
+    measures. Returns (None, None) to fall through to the wavefront.
+    """
+    want = args.backend == "fused"
+    auto = args.backend is None and not args.normal_maps
+    if not (want or auto):
+        return None, None
+    mode = args.mode or ("whitted" if ps.scene.num_lights > 0 else "path")
+    if mode == "path":
+        from orion_tpu.ops.pallas_fused import (fused_path_supported,
+                                                make_fused_path_renderer)
+
+        if fused_path_supported(ps.scene):
+            return make_fused_path_renderer(
+                ps.scene, ps.camera, samples=args.samples,
+                max_depth=max_depth,
+                light_samples=args.light_samples), "fused-pallas"
+    else:
+        from orion_tpu.ops.pallas_whitted import (
+            fused_whitted_supported, make_fused_whitted_renderer)
+
+        if fused_whitted_supported(ps.scene):
+            return make_fused_whitted_renderer(
+                ps.scene, ps.camera, samples=args.samples,
+                max_depth=max_depth), "fused-whitted-pallas"
+    if want:
+        raise SystemExit("error: --backend fused, but the scene is "
+                         "outside the megakernel gate (textures / "
+                         "emitters / triangle count); see "
+                         "ops/pallas_fused.py FUSED_* limits")
+    return None, None
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -77,8 +117,9 @@ def main(argv=None) -> int:
     from orion_tpu.engine import prepare, render_report
     from orion_tpu.io.image import save_image
 
+    force = args.backend if args.backend in ("brute", "bvh") else None
     ps = prepare(args.rtc_file, strategy=args.strategy,
-                 force_backend=args.backend,
+                 force_backend=force,
                  xres=args.xres, yres=args.yres)
     max_depth = (args.depth if args.depth is not None
                  else max(int(ps.rtc.recursion_level), 1))
@@ -138,14 +179,20 @@ def main(argv=None) -> int:
             light_samples=args.light_samples, max_depth=max_depth,
             intersect=ps.intersect))
     else:
-        from orion_tpu.render import render
+        fused_fn, fused_name = _maybe_fused(ps, args, max_depth)
+        if fused_name:
+            ps.backend = fused_name
+        if fused_fn is not None:
+            img = np.asarray(fused_fn(key))
+        else:
+            from orion_tpu.render import render
 
-        img = np.asarray(render(
-            ps.scene, ps.camera, key, samples=args.samples,
-            light_samples=args.light_samples, max_depth=max_depth,
-            mode=args.mode, intersect=ps.intersect,
-            normal_maps=args.normal_maps,
-            shadow_intersect=ps.shadow_intersect))
+            img = np.asarray(render(
+                ps.scene, ps.camera, key, samples=args.samples,
+                light_samples=args.light_samples, max_depth=max_depth,
+                mode=args.mode, intersect=ps.intersect,
+                normal_maps=args.normal_maps,
+                shadow_intersect=ps.shadow_intersect))
     dt = time.perf_counter() - t0
 
     save_image(args.output, img)

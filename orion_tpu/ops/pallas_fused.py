@@ -156,7 +156,30 @@ def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     tab[:T, _C_AREA] = np.asarray(scene.mesh_area)[mat]
     tab[:T, _C_MESH] = mat.astype(np.float32)
     tab[:T, _C_PC] = kd.max(axis=1)
+    # padding rows: unhittable (e1 = e2 = 0) but anchored at the last real
+    # vertex so chunk AABBs (fused_chunk_bounds) stay tight
+    if T_pad > T and T > 0:
+        tab[T:, _C_V0:_C_V0 + 3] = v0[T - 1]
     return tab
+
+
+def fused_chunk_bounds(tab: np.ndarray):
+    """Per-FUSED_CHUNK AABBs of a packed table: (lo [n,3], hi [n,3]).
+
+    OBJ triangle order is mesh-grouped and therefore spatially coherent,
+    so natural-order chunks bound tight regions; the kernel's chunk loop
+    slab-tests each box against the live segment [0, t_best) and skips
+    chunks no lane can improve in (a one-level hierarchy over the brute
+    sweep — the fused path's answer to the BVH's node culling).
+    """
+    T_pad = tab.shape[0]
+    n = max(T_pad // FUSED_CHUNK, 1)
+    v0 = tab[:, _C_V0:_C_V0 + 3]
+    p1 = v0 + tab[:, _C_E1:_C_E1 + 3]
+    p2 = v0 + tab[:, _C_E2:_C_E2 + 3]
+    pts = np.stack([v0, p1, p2], axis=1).reshape(n, -1, 3)
+    return (pts.min(axis=1).astype(np.float32),
+            pts.max(axis=1).astype(np.float32))
 
 
 def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
@@ -188,6 +211,8 @@ def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
     tab = tab.at[:T, _C_AREA].set(scene.mesh_area[mat])
     tab = tab.at[:T, _C_MESH].set(mat.astype(jnp.float32))
     tab = tab.at[:T, _C_PC].set(jnp.max(kd, axis=1))
+    if T_pad > T and T > 0:  # padding anchor, as pack_fused_tri_table
+        tab = tab.at[T:, _C_V0:_C_V0 + 3].set(v0[T - 1])
     return tab
 
 
@@ -247,7 +272,7 @@ def _mt_planes_at(colk, o, d):
     return jnp.where(ok, t, _BIG), u, v
 
 
-def _make_geom(col, T_pad, *, chunk=None, col_dyn=None):
+def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
     """Geometry sweeps over the triangle table via the accessor `col(c)`
     ([T_pad, 1] column). Returns (mt_planes, sweep); `sweep.any_hit(o, d)`
     is the occlusion-only form ([1, RB] bool).
@@ -259,6 +284,13 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None):
     tri_ref[pl.ds(off, chunk), c:c+1]; jnp replica: lax.dynamic_slice).
     In chunked mode `mt_planes` is None — full-table planes would defeat
     the point — so callers needing occlusion use sweep.any_hit.
+
+    chunk_box(k) -> ((lox, loy, loz), (hix, hiy, hiz)) scalar accessor of
+    chunk k's AABB (fused_chunk_bounds rows via scalar-prefetch refs):
+    when given, each chunk is slab-tested against every lane's live
+    segment [0, t_best) and the MT sweep is skipped when no lane can
+    improve — value-identical, since a skipped chunk contains no
+    triangle any lane could hit nearer than its current winner.
     """
     chunked = chunk is not None and T_pad > chunk
     if chunked:
@@ -303,25 +335,51 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None):
         sweep.any_hit = any_hit
         return mt_planes, sweep
 
+    def _box_reachable(k, o, d, t_b):
+        """[1, RB] could-improve mask of chunk k's AABB vs each lane's
+        live segment (slab test; flat boxes hit via >=)."""
+        lo, hi = chunk_box(k)
+        inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+        tx0 = (lo[0] - o[0]) * inv[0]
+        tx1 = (hi[0] - o[0]) * inv[0]
+        ty0 = (lo[1] - o[1]) * inv[1]
+        ty1 = (hi[1] - o[1]) * inv[1]
+        tz0 = (lo[2] - o[2]) * inv[2]
+        tz1 = (hi[2] - o[2]) * inv[2]
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
+
     def sweep(o, d, attr_cols):
         attr_cols = tuple(attr_cols)
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
         zero = jnp.zeros(shape, jnp.float32)
 
         def body(k, carry):
-            t_b, u_b, v_b, got_b = carry
-            off = k * chunk
+            def do_sweep(carry):
+                t_b, u_b, v_b, got_b = carry
+                off = k * chunk
 
-            def colk(c):
-                return col_dyn(off, c)
+                def colk(c):
+                    return col_dyn(off, c)
 
-            t_min, u, v, got = _slice_sweep(colk, o, d, attr_cols)
-            better = t_min < t_b
-            new_got = tuple(jnp.where(better, got[c], g)
-                            for c, g in zip(attr_cols, got_b))
-            return (jnp.where(better, t_min, t_b),
-                    jnp.where(better, u, u_b),
-                    jnp.where(better, v, v_b), new_got)
+                t_min, u, v, got = _slice_sweep(colk, o, d, attr_cols)
+                better = t_min < t_b
+                new_got = tuple(jnp.where(better, got[c], g)
+                                for c, g in zip(attr_cols, got_b))
+                return (jnp.where(better, t_min, t_b),
+                        jnp.where(better, u, u_b),
+                        jnp.where(better, v, v_b), new_got)
+
+            if chunk_box is None:
+                return do_sweep(carry)
+            return jax.lax.cond(
+                jnp.any(_box_reachable(k, o, d, carry[0])),
+                do_sweep, lambda c: c, carry)
 
         init = (jnp.full(shape, _BIG), zero, zero,
                 tuple(zero for _ in attr_cols))
@@ -333,9 +391,17 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None):
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
 
         def body(k, occ):
-            off = k * chunk
-            t, _, _ = _mt_planes_at(lambda c: col_dyn(off, c), o, d)
-            return occ | (jnp.min(t, axis=0, keepdims=True) < _BIG)
+            def do_sweep(occ):
+                off = k * chunk
+                t, _, _ = _mt_planes_at(lambda c: col_dyn(off, c), o, d)
+                return occ | (jnp.min(t, axis=0, keepdims=True) < _BIG)
+
+            if chunk_box is None:
+                return do_sweep(occ)
+            # skip iff every lane is already occluded or misses the box
+            big = jnp.where(occ, -_BIG, _BIG)  # occluded lanes stop voting
+            return jax.lax.cond(jnp.any(_box_reachable(k, o, d, big)),
+                                do_sweep, lambda c: c, occ)
 
         return jax.lax.fori_loop(0, n_chunks, body,
                                  jnp.zeros(shape, bool))
@@ -532,7 +598,7 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
                      max_depth, light_samples, emitter, samp_slots=0,
-                     col_dyn=None):
+                     col_dyn=None, chunk_box=None):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
@@ -547,7 +613,8 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
     col_dyn: dynamic row-slice accessor enabling the chunked sweep for
     T_pad > FUSED_CHUNK (see _make_geom)."""
-    _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK, col_dyn=col_dyn)
+    _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK, col_dyn=col_dyn,
+                          chunk_box=chunk_box)
     primary = _make_primary(cam, seed, pix, W, H)
     nee = _make_nee(sweep, emitter, seed, pix, light_samples)
     S = jnp.int32(samples)
@@ -655,7 +722,10 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
 def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
                  light_samples: int, emitter, n_pix: int):
-    def kernel(cam_ref, seed_ref, base_ref, tri_ref, out_ref):
+    chunked = T_pad > FUSED_CHUNK
+
+    def kernel(cam_ref, seed_ref, base_ref, clo_ref, chi_ref, tri_ref,
+               out_ref):
         rb = out_ref.shape[1]
         seed = seed_ref[0]
 
@@ -669,6 +739,12 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
             return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
                                  FUSED_CHUNK), c:c + 1]    # [CHUNK, 1]
 
+        def chunk_box(k):
+            return ((clo_ref[3 * k], clo_ref[3 * k + 1],
+                     clo_ref[3 * k + 2]),
+                    (chi_ref[3 * k], chi_ref[3 * k + 1],
+                     chi_ref[3 * k + 2]))
+
         # base_ref: this shard's first global pixel (0 single-chip; a
         # chip's tile offset under parallel/fused_shard's ray DP)
         pix0 = pl.program_id(0) * rb + base_ref[0]
@@ -678,7 +754,8 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
 
         body, cond, init = _make_regen_body(
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
-            light_samples, emitter, col_dyn=col_dyn)
+            light_samples, emitter, col_dyn=col_dyn,
+            chunk_box=chunk_box if chunked else None)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
@@ -737,7 +814,7 @@ def build_fused_call(T_pad: int, W: int, H: int, samples: int,
     kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
                           emitter, n_pix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(n_pad // ray_block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -771,7 +848,10 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
     n_pad = ((max(n_pix, ray_block) + ray_block - 1)
              // ray_block) * ray_block
 
-    tri_tab = jnp.asarray(pack_fused_tri_table(scene))
+    tab_np = pack_fused_tri_table(scene)
+    lo, hi = fused_chunk_bounds(tab_np)
+    clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
+    tri_tab = jnp.asarray(tab_np)
     T_pad = tri_tab.shape[0]
     emitter = _emitters_consts(scene)
 
@@ -782,7 +862,7 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
 
     @jax.jit
     def _impl(cv, seed, tab):
-        out = call(cv, seed, zero_base, tab)
+        out = call(cv, seed, zero_base, clo, chi, tab)
         return out[0:3, :n_pix].T.reshape(H, W, 3)
 
     def render_fused(key, camera_override=None, tab=None) -> jax.Array:
@@ -791,7 +871,8 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
         from scalar memory at run time. `tab` overrides the triangle
         table (pack_fused_tri_table_jnp of a parameter-substituted
         scene), so optimization loops can re-render updated materials
-        without rebuilding the kernel."""
+        without rebuilding the kernel (chunk-cull AABBs are baked from
+        the build-time geometry — material-only substitutions only)."""
         cv = cam_vec if camera_override is None else camera_vec(
             camera_override)
         return _impl(cv, seed_scalar(key), tri_tab if tab is None else tab)

@@ -38,7 +38,7 @@ from orion_tpu.ops.pallas_fused import (
     _BIG, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_N0, _C_N1, _C_N2,
     _fused_t_pad, _interp_n, _make_geom, _make_primary, _norm3, BIAS,
     FUSED_CHUNK, FUSED_MAX_TRIS, RAY_BLOCK, camera_vec,
-    pack_fused_tri_table, seed_scalar)
+    fused_chunk_bounds, pack_fused_tri_table, seed_scalar)
 from orion_tpu.scene import Scene
 
 MAX_LIGHTS = 8
@@ -104,7 +104,10 @@ def _make_whitted_kernel(T_pad: int, W: int, H: int, samples: int,
                          with_emissive: bool):
     n_lights, l_pos, l_color, l_inten = lights
 
-    def kernel(cam_ref, seed_ref, base_ref, tri_ref, out_ref):
+    chunked = T_pad > FUSED_CHUNK
+
+    def kernel(cam_ref, seed_ref, base_ref, clo_ref, chi_ref, tri_ref,
+               out_ref):
         rb = out_ref.shape[1]
         seed = seed_ref[0]
 
@@ -118,12 +121,19 @@ def _make_whitted_kernel(T_pad: int, W: int, H: int, samples: int,
             return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
                                  FUSED_CHUNK), c:c + 1]
 
+        def chunk_box(k):
+            return ((clo_ref[3 * k], clo_ref[3 * k + 1],
+                     clo_ref[3 * k + 2]),
+                    (chi_ref[3 * k], chi_ref[3 * k + 1],
+                     chi_ref[3 * k + 2]))
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
         _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
-                              col_dyn=col_dyn)
+                              col_dyn=col_dyn,
+                              chunk_box=chunk_box if chunked else None)
         primary = _make_primary(cam, seed, pix, W, H)
         S = jnp.int32(samples)
 
@@ -253,7 +263,10 @@ def make_fused_whitted_renderer(scene: Scene, camera, *, samples: int,
     n_pad = ((max(n_pix, ray_block) + ray_block - 1)
              // ray_block) * ray_block
 
-    tri_tab = jnp.asarray(pack_whitted_tri_table(scene))
+    tab_np = pack_whitted_tri_table(scene)
+    lo, hi = fused_chunk_bounds(tab_np)
+    clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
+    tri_tab = jnp.asarray(tab_np)
     lights = _lights_consts(scene)
     kernel = _make_whitted_kernel(tri_tab.shape[0], W, H, samples,
                                   max_depth, lights, n_pix,
@@ -261,7 +274,7 @@ def make_fused_whitted_renderer(scene: Scene, camera, *, samples: int,
     cam_v = camera_vec(camera)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(n_pad // ray_block,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -277,7 +290,7 @@ def make_fused_whitted_renderer(scene: Scene, camera, *, samples: int,
 
     @jax.jit
     def _impl(cv, seed):
-        out = call(cv, seed, zero_base, tri_tab)
+        out = call(cv, seed, zero_base, clo, chi, tri_tab)
         return out[0:3, :n_pix].T.reshape(H, W, 3)
 
     def render_whitted_fused(key, camera_override=None) -> jax.Array:

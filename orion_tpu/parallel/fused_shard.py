@@ -33,6 +33,7 @@ shard_map = jax.shard_map
 
 from orion_tpu.ops.pallas_fused import (RAY_BLOCK, _emitter_consts,
                                         _emitters_consts,
+                                        fused_chunk_bounds,
                                         build_fused_call, camera_vec,
                                         fused_path_supported,
                                         pack_fused_tri_table,
@@ -76,7 +77,10 @@ def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
     n_pix = H * W
     local = _tile(n_pix, n_chips, ray_block)
 
-    tri_tab = jnp.asarray(pack_fused_tri_table(scene))
+    tab_np = pack_fused_tri_table(scene)
+    lo, hi = fused_chunk_bounds(tab_np)
+    clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
+    tri_tab = jnp.asarray(tab_np)
     emitter = _emitters_consts(scene)
     call = build_fused_call(tri_tab.shape[0], W, H, samples, max_depth,
                             light_samples, emitter, n_pix, local,
@@ -85,7 +89,8 @@ def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
 
     def shard_fn(seed):
         base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
-        return call(cam_v, seed, base[None], tri_tab)    # [8, local]
+        return call(cam_v, seed, base[None], clo, chi,
+                    tri_tab)                             # [8, local]
 
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(),
                         out_specs=P(None, AXIS), check_vma=False)
