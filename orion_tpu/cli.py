@@ -100,6 +100,17 @@ def _maybe_fused(ps, args, max_depth):
             return make_fused_whitted_renderer(
                 ps.scene, ps.camera, samples=args.samples,
                 max_depth=max_depth), "fused-whitted-pallas"
+        from orion_tpu.ops.pallas_bvh_whitted import (
+            bvh_whitted_supported, make_bvh_whitted_renderer)
+
+        if bvh_whitted_supported(ps.scene):
+            try:
+                return make_bvh_whitted_renderer(
+                    ps.scene, ps.camera, samples=args.samples,
+                    max_depth=max_depth, strategy=args.strategy,
+                    order_signs=ps.order_signs), "bvh-whitted-pallas"
+            except ValueError:
+                pass  # over the residency cap: wavefront it is
     if want:
         raise SystemExit("error: --backend fused, but the scene is "
                          "outside the megakernel gate (textures / "

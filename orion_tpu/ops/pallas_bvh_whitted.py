@@ -1,0 +1,490 @@
+"""Pallas TPU megakernel: Whitted ray tracing over a VMEM-resident BVH.
+
+The third megakernel (path + Whitted brute-sweep kernels live in
+ops/pallas_fused.py / ops/pallas_whitted.py): for untextured Whitted
+scenes whose triangle count rules out brute sweeps, the ENTIRE render —
+primary generation, nearest-hit *BVH traversal*, per-light any-hit
+shadow walks, Phong shading, mirror continuation, and sample
+regeneration — runs as one kernel launch. This is the configuration of
+the reference's own nanosuit benchmarks ("no textures",
+/root/reference/benchmarks.md:4-14), where the wavefront pays one
+closest-hit launch + one any-hit launch + an XLA attribute-gather/shade
+round trip through HBM per (sample, bounce).
+
+Traversal is the block-uniform skip-pointer walk of ops/pallas_bvh.py
+(same node scalars, same [rows, B_pad] component-plane leaf residency),
+extended with in-leaf WINNER ATTRIBUTE PICKING: when a leaf improves
+some lane's nearest hit, the winner's shading attributes are
+select-reduced out of the leaf block right there ([W, RB] one-hot masked
+sums), so no post-kernel gather over the triangle tables exists at all.
+Because the gate is untextured, no UVs are needed, and the interpolated
+shading normal is composed ON the MT planes (w*n0 + u*n1 + v*n2 per
+component — 3 picks) instead of picking 9 corner-normal components.
+
+Estimator parity: render._whitted_bounce / ops/pallas_whitted.py —
+depth-0 emissive term (raytracer.cpp:127-128), ANY-hit-blocks shadow
+quirk (raytracer.cpp:196-201), Phong with pow(0,0)=1
+(material.hpp:72-93), zero-throughput pruning, shared-jitter PCG4D
+primaries. Images match the wavefront at the noise level
+(tests/test_bvh_whitted.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orion_tpu.accel.bvh import BVH, SAH, build_bvh
+from orion_tpu.ops.intersect import MT_EPS
+from orion_tpu.ops.pallas_fused import (_BIG, _make_primary, _norm3, BIAS,
+                                        camera_vec, seed_scalar)
+from orion_tpu.ops.pallas_whitted import (MAX_LIGHTS, _lights_consts,
+                                          _pow_like_c)
+from orion_tpu.scene import Scene
+
+RAY_BLOCK = 256   # pallas_bvh's measured best for packet walks
+LEAF_WIDTH = 128  # lane-aligned leaf slices (dynamic lane offsets)
+# attr-table residency cap: 160 B per bundled triangle ([40, B_pad] f32)
+RESIDENT_MAX_BUNDLED = 48 * 1024
+
+# attr-table row map ([40, B_pad] component rows)
+_R_V0, _R_E1, _R_E2 = 0, 3, 6
+_R_N0, _R_N1, _R_N2 = 9, 12, 15
+_R_GN, _R_KA, _R_KD, _R_KS = 18, 21, 24, 27
+_R_SHIN = 30
+_R_KE, _R_AREA = 31, 34
+_ROWS = 40
+
+
+def pack_bvh_attr_table(bvh: BVH, scene: Scene) -> np.ndarray:
+    """[40, B_pad] component rows in BUNDLED order: geometry (v0|e1|e2)
+    plus per-corner normals, geometric normal, and solid Phong material
+    columns resolved through bvh.tri_orig. Padding columns are degenerate
+    (e1 = e2 = 0) and carry zero material."""
+    B = int(bvh.tri_v0.shape[0])
+    B_pad = ((max(B, LEAF_WIDTH) + LEAF_WIDTH - 1)
+             // LEAF_WIDTH) * LEAF_WIDTH
+    tab = np.zeros((_ROWS, B_pad), np.float32)
+    tab[_R_V0:_R_V0 + 3, :B] = np.asarray(bvh.tri_v0).T
+    tab[_R_E1:_R_E1 + 3, :B] = np.asarray(bvh.tri_e1).T
+    tab[_R_E2:_R_E2 + 3, :B] = np.asarray(bvh.tri_e2).T
+
+    T = int(scene.num_triangles)
+    raw = np.asarray(bvh.tri_orig)[:B]
+    real = raw >= 0                  # padding rows carry tri_orig == -1
+    orig = np.clip(raw, 0, T - 1)
+    tab[_R_N0:_R_N0 + 3, :B] = np.asarray(scene.n0)[orig].T
+    tab[_R_N1:_R_N1 + 3, :B] = np.asarray(scene.n1)[orig].T
+    tab[_R_N2:_R_N2 + 3, :B] = np.asarray(scene.n2)[orig].T
+    gn = np.cross(np.asarray(bvh.tri_e1), np.asarray(bvh.tri_e2))
+    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    tab[_R_GN:_R_GN + 3, :B] = gn.T
+
+    mat = np.asarray(scene.tri_mat)[orig]
+    m = real.astype(np.float32)
+    tab[_R_KA:_R_KA + 3, :B] = (np.asarray(scene.mat_ambient)[mat] * m[:, None]).T
+    tab[_R_KD:_R_KD + 3, :B] = (np.asarray(scene.mat_diffuse)[mat] * m[:, None]).T
+    tab[_R_KS:_R_KS + 3, :B] = (np.asarray(scene.mat_specular)[mat] * m[:, None]).T
+    tab[_R_SHIN, :B] = np.asarray(scene.mat_shininess)[mat] * m
+    tab[_R_KE:_R_KE + 3, :B] = (np.asarray(scene.mat_emissive)[mat] * m[:, None]).T
+    tab[_R_AREA, :B] = np.asarray(scene.mesh_area)[mat] * m
+    return tab
+
+
+def bvh_whitted_supported(scene: Scene) -> bool:
+    """Gate: untextured Whitted scene with few lights (any T — the build
+    checks the bundled-row residency cap separately)."""
+    if not (1 <= int(scene.num_lights) <= MAX_LIGHTS):
+        return False
+    if int(np.asarray(scene.tex_hw).max()) > 1:
+        return False
+    maps = np.concatenate([np.asarray(scene.mat_map_diffuse),
+                           np.asarray(scene.mat_map_specular),
+                           np.asarray(scene.mat_map_bump)])
+    return bool((maps < 0).all())
+
+
+def _mt_uv(o, d, v0, e1, e2):
+    """[W, RB] Möller-Trumbore planes (t masked to _BIG, u, v) of [W, 1]
+    triangle components against [1, RB] ray components."""
+    px = d[1] * e2[2] - d[2] * e2[1]
+    py = d[2] * e2[0] - d[0] * e2[2]
+    pz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = 1.0 / det
+    tx = o[0] - v0[0]
+    ty = o[1] - v0[1]
+    tz = o[2] - v0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
+        & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+    # u/v are masked too: degenerate rows (det ~ 0) carry inf/NaN that
+    # would poison the winner select-reduce (0 * inf == NaN)
+    return (jnp.where(ok, t, _BIG), jnp.where(ok, u, 0.0),
+            jnp.where(ok, v, 0.0))
+
+
+# picks: interpolated normal (3), gn (3), ka (3), kd (3), ks (3), shin (1)
+_N_PICKS = 16
+_N_PICKS_EM = _N_PICKS + 4  # + ke (3), area (1)
+
+
+def _make_walk(node, tab_ref, M, with_emissive):
+    """Closest-hit walk with in-leaf winner attribute picking.
+
+    node: dict of scalar-prefetch refs (lox..loz, hix..hiz, skip, start).
+    Returns closest(o, d, lane_alive) ->
+        (t [1,RB], hit [1,RB], picks [list of N [1,RB] planes])
+    and occluded(o, d, need) -> [1,RB] bool (any-hit walk).
+    """
+    n_picks = _N_PICKS_EM if with_emissive else _N_PICKS
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LEAF_WIDTH, 1), 0)
+
+    def _slab(ptr, o, inv, t_b):
+        lo = (node["lox"][ptr], node["loy"][ptr], node["loz"][ptr])
+        hi = (node["hix"][ptr], node["hiy"][ptr], node["hiz"][ptr])
+        tx0 = (lo[0] - o[0]) * inv[0]
+        tx1 = (hi[0] - o[0]) * inv[0]
+        ty0 = (lo[1] - o[1]) * inv[1]
+        ty1 = (hi[1] - o[1]) * inv[1]
+        tz0 = (lo[2] - o[2]) * inv[2]
+        tz1 = (hi[2] - o[2]) * inv[2]
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
+
+    def _leaf_planes(start, o, d):
+        off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+        blk = tab_ref[:, pl.ds(off, LEAF_WIDTH)]        # [40, W]
+        blk_t = blk.T                                   # [W, 40]
+
+        def rows3(r):
+            return (blk_t[:, r:r + 1], blk_t[:, r + 1:r + 2],
+                    blk_t[:, r + 2:r + 3])
+
+        t, u, v = _mt_uv(o, d, rows3(_R_V0), rows3(_R_E1), rows3(_R_E2))
+        return blk_t, t, u, v
+
+    def closest(o, d, lane_alive):
+        inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+        rb = o[0].shape[1]
+        zero = jnp.zeros((1, rb), jnp.float32)
+        t0 = jnp.where(lane_alive, _BIG, -_BIG)
+
+        def body(carry):
+            ptr, t_b = carry[0], carry[1]
+            picks = carry[2:]
+            lane_hit = _slab(ptr, o, inv, t_b)
+            any_lane = jnp.any(lane_hit)
+            start = node["start"][ptr]
+            is_leaf = start >= 0
+
+            def leaf_case(state):
+                t_b = state[0]
+                picks = state[1:]
+                blk_t, t, u, v = _leaf_planes(start, o, d)
+                t_min = jnp.min(t, axis=0, keepdims=True)
+                better = (t_min < t_b) & (t_min < _BIG)
+
+                def do_picks(state):
+                    t_b = state[0]
+                    picks = state[1:]
+                    row_min = jnp.min(
+                        jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
+                        axis=0, keepdims=True)
+                    sel = row_idx == row_min
+
+                    def pick(p):
+                        return jnp.sum(jnp.where(sel, p, 0.0), axis=0,
+                                       keepdims=True)
+
+                    def pick_row(r):
+                        return pick(jnp.broadcast_to(blk_t[:, r:r + 1],
+                                                     t.shape))
+
+                    w = 1.0 - u - v
+                    new = []
+                    # interpolated (unnormalized) shading normal per
+                    # component, composed on the planes: 3 picks not 9
+                    for c in range(3):
+                        sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
+                                + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
+                                + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
+                        new.append(pick(sn_c))
+                    for r in (_R_GN, _R_GN + 1, _R_GN + 2,
+                              _R_KA, _R_KA + 1, _R_KA + 2,
+                              _R_KD, _R_KD + 1, _R_KD + 2,
+                              _R_KS, _R_KS + 1, _R_KS + 2,
+                              _R_SHIN):
+                        new.append(pick_row(r))
+                    if with_emissive:
+                        for r in (_R_KE, _R_KE + 1, _R_KE + 2, _R_AREA):
+                            new.append(pick_row(r))
+                    out = [jnp.where(better, t_min, t_b)]
+                    out += [jnp.where(better, n, p)
+                            for n, p in zip(new, picks)]
+                    return tuple(out)
+
+                return jax.lax.cond(jnp.any(better), do_picks,
+                                    lambda s: s, (t_b,) + picks)
+
+            state = jax.lax.cond(any_lane & is_leaf, leaf_case,
+                                 lambda s: s, (t_b,) + picks)
+            descend = any_lane & jnp.logical_not(is_leaf)
+            ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
+            return (ptr,) + state
+
+        init = (jnp.int32(0), t0) + tuple(zero for _ in range(n_picks))
+        out = jax.lax.while_loop(lambda c: c[0] < M, body, init)
+        t_b = out[1]
+        hit = (t_b < _BIG) & lane_alive
+        return jnp.where(hit, t_b, _BIG), hit, list(out[2:])
+
+    def occluded(o, d, need):
+        """ANY hit at any t blocks (raytracer.cpp:196-201); lanes outside
+        `need` never vote, so settled blocks exit in one skip chain.
+        The occlusion mask rides the while carry as f32 0/1 — Mosaic
+        rejects i1 vectors as loop/cond carries."""
+        inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+        rb = o[0].shape[1]
+        need_f = need.astype(jnp.float32)
+
+        def body(carry):
+            ptr, occ = carry
+            open_ = (need_f * (1.0 - occ)) > 0.0
+            t_b = jnp.where(open_, _BIG, -_BIG)
+            lane_hit = _slab(ptr, o, inv, t_b)
+            any_lane = jnp.any(lane_hit)
+            start = node["start"][ptr]
+            is_leaf = start >= 0
+
+            def leaf_case(occ):
+                _, t, _, _ = _leaf_planes(start, o, d)
+                hit = jnp.min(t, axis=0, keepdims=True) < _BIG
+                return jnp.maximum(occ, (hit & open_).astype(jnp.float32))
+
+            occ = jax.lax.cond(any_lane & is_leaf, leaf_case,
+                               lambda s: s, occ)
+            descend = any_lane & jnp.logical_not(is_leaf)
+            ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
+            settled = jnp.maximum(occ, 1.0 - need_f)
+            ptr = jnp.where(jnp.all(settled > 0.0), jnp.int32(M), ptr)
+            return ptr, occ
+
+        occ0 = jnp.zeros((1, rb), jnp.float32)
+        _, occ = jax.lax.while_loop(lambda c: c[0] < M, body,
+                                    (jnp.int32(0), occ0))
+        return occ > 0.0
+
+    return closest, occluded
+
+
+def _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
+                 with_emissive):
+    n_lights, l_pos, l_color, l_inten = lights
+
+    def kernel(cam_ref, seed_ref, base_ref, n_lox, n_loy, n_loz,
+               n_hix, n_hiy, n_hiz, n_skip, n_start, tab_ref, out_ref):
+        rb = out_ref.shape[1]
+        seed = seed_ref[0]
+        node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
+                "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
+                "skip": n_skip, "start": n_start}
+
+        def cam(i):
+            return cam_ref[i]
+
+        pix0 = pl.program_id(0) * rb + base_ref[0]
+        pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
+        in_image = pix < n_pix
+
+        closest, occluded = _make_walk(node, tab_ref, M, with_emissive)
+        primary = _make_primary(cam, seed, pix, W, H)
+        S = jnp.int32(samples)
+
+        def body(carry):
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+             ar, ag, ab, depth, samp) = carry
+            lane_alive = samp < S
+
+            t, hit, picks = closest((ox, oy, oz), (dx, dy, dz),
+                                    lane_alive)
+            hitf = hit.astype(jnp.float32)
+            tt = jnp.where(hit, t, 0.0)
+            hx, hy, hz = ox + tt * dx, oy + tt * dy, oz + tt * dz
+            sn = _norm3(picks[0], picks[1], picks[2])
+            gn = picks[3:6]
+            ka = picks[6:9]
+            kd = picks[9:12]
+            ks = picks[12:15]
+            shin = picks[15]
+
+            r3 = [jnp.zeros_like(t) for _ in range(3)]
+            if with_emissive:
+                ndx, ndy, ndz = _norm3(dx, dy, dz)
+                cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
+                em_scale = jnp.where((depth == 0) & hit,
+                                     picks[19] * cosv, 0.0)
+                for c in range(3):
+                    r3[c] += picks[16 + c] * em_scale
+
+            vdx, vdy, vdz = _norm3(-dx, -dy, -dz)
+            sox = hx + BIAS * gn[0]
+            soy = hy + BIAS * gn[1]
+            soz = hz + BIAS * gn[2]
+            for li in range(n_lights):
+                lp = [np.float32(l_pos[li, c]) for c in range(3)]
+                tlx, tly, tlz = lp[0] - hx, lp[1] - hy, lp[2] - hz
+                d2 = tlx * tlx + tly * tly + tlz * tlz
+                lit = hit & jnp.logical_not(
+                    occluded((sox, soy, soz), (tlx, tly, tlz), hit))
+                ldx, ldy, ldz = _norm3(tlx, tly, tlz)
+                ndotl = jnp.maximum(sn[0] * ldx + sn[1] * ldy
+                                    + sn[2] * ldz, 0.0)
+                dot_ln = -(ldx * sn[0] + ldy * sn[1] + ldz * sn[2])
+                rx = -ldx - 2.0 * dot_ln * sn[0]
+                ry = -ldy - 2.0 * dot_ln * sn[1]
+                rz = -ldz - 2.0 * dot_ln * sn[2]
+                spec_cos = jnp.maximum(vdx * rx + vdy * ry + vdz * rz,
+                                       0.0)
+                spec = 0.5 * _pow_like_c(spec_cos, shin)
+                litf = lit.astype(jnp.float32)
+                scale = litf * np.float32(l_inten[li]) \
+                    / jnp.maximum(d2, 1e-20)
+                for c in range(3):
+                    r3[c] += (np.float32(l_color[li, c])
+                              * (ka[c] + ndotl * kd[c] + spec * ks[c])
+                              * scale)
+
+            ar += tr * r3[0] * hitf
+            ag += tg * r3[1] * hitf
+            ab += tb * r3[2] * hitf
+
+            # mirror continuation scaled by Ks (raytracer.cpp:203-206)
+            n_tr, n_tg, n_tb = tr * ks[0], tg * ks[1], tb * ks[2]
+            nonzero = (n_tr > 0.0) | (n_tg > 0.0) | (n_tb > 0.0)
+            cont = hit & (depth < max_depth) & nonzero & (samp < S)
+            dot_dn = dx * sn[0] + dy * sn[1] + dz * sn[2]
+            bdx = dx - 2.0 * dot_dn * sn[0]
+            bdy = dy - 2.0 * dot_dn * sn[1]
+            bdz = dz - 2.0 * dot_dn * sn[2]
+            n_ox = hx + sn[0] * BIAS
+            n_oy = hy + sn[1] * BIAS
+            n_oz = hz + sn[2] * BIAS
+
+            n_samp = jnp.where(cont, samp, samp + 1)
+            lane_on = n_samp < S
+            p_ox, p_oy, p_oz, p_dx, p_dy, p_dz = primary(n_samp)
+            onf = lane_on.astype(jnp.float32)
+            ox = jnp.where(cont, n_ox, p_ox)
+            oy = jnp.where(cont, n_oy, p_oy)
+            oz = jnp.where(cont, n_oz, p_oz)
+            dx = jnp.where(cont, bdx, p_dx)
+            dy = jnp.where(cont, bdy, p_dy)
+            dz = jnp.where(cont, bdz, p_dz)
+            tr = jnp.where(cont, n_tr, onf)
+            tg = jnp.where(cont, n_tg, onf)
+            tb = jnp.where(cont, n_tb, onf)
+            depth = jnp.where(cont, depth + 1, 0)
+            return (ox, oy, oz, dx, dy, dz, tr, tg, tb,
+                    ar, ag, ab, depth, n_samp)
+
+        def cond(carry):
+            return jnp.any(carry[13] < S)
+
+        samp0 = jnp.where(in_image, 0, S)
+        o0 = primary(samp0)
+        onf0 = (samp0 < S).astype(jnp.float32)
+        zeros = jnp.zeros((1, rb), jnp.float32)
+        carry = (o0[0], o0[1], o0[2], o0[3], o0[4], o0[5],
+                 onf0, onf0, onf0, zeros, zeros, zeros,
+                 jnp.zeros((1, rb), jnp.int32), samp0)
+        carry = jax.lax.while_loop(cond, body, carry)
+        inv_s = np.float32(1.0 / samples)
+        out_ref[0:1, :] = carry[9] * inv_s
+        out_ref[1:2, :] = carry[10] * inv_s
+        out_ref[2:3, :] = carry[11] * inv_s
+        out_ref[3:8, :] = jnp.zeros((5, rb), jnp.float32)
+
+    return kernel
+
+
+def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
+                              max_depth: int, strategy: str = SAH,
+                              ray_block: int = RAY_BLOCK,
+                              order_signs=(1.0, 1.0, 1.0),
+                              interpret: bool | None = None):
+    """Build `fn(key) -> [H, W, 3]`: the whole Whitted render (all
+    samples, all bounces, all shadow rays) in one BVH megakernel launch.
+
+    Raises when the scene is outside the gate (textures / lights) or the
+    tree's bundled rows exceed the VMEM residency cap."""
+    if not bvh_whitted_supported(scene):
+        raise ValueError("scene outside the bvh-whitted gate "
+                         "(textures / lights)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=strategy,
+                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       order_signs=order_signs)
+    if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+        raise ValueError(
+            f"{bvh.num_bundled} bundled rows exceed the attr-table "
+            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    n_pad = ((max(n_pix, ray_block) + ray_block - 1)
+             // ray_block) * ray_block
+
+    tab = jnp.asarray(pack_bvh_attr_table(bvh, scene))
+    node_scalars = tuple(
+        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    lights = _lights_consts(scene)
+    with_em = scene.num_emissive > 0
+    kernel = _make_kernel(bvh.num_nodes, W, H, samples, max_depth,
+                          lights, n_pix, with_em)
+    cam_v = camera_vec(camera)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+    zero_base = jnp.zeros((1,), jnp.int32)
+
+    @jax.jit
+    def _impl(cv, seed):
+        out = call(cv, seed, zero_base, *node_scalars, tab)
+        return out[0:3, :n_pix].T.reshape(H, W, 3)
+
+    def render_bvh_whitted(key, camera_override=None) -> jax.Array:
+        cv = cam_v if camera_override is None else camera_vec(
+            camera_override)
+        return _impl(cv, seed_scalar(key))
+
+    return render_bvh_whitted

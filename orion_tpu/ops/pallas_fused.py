@@ -388,23 +388,27 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
                 dict(zip(attr_cols, got_b)))
 
     def any_hit(o, d):
+        # occlusion rides the fori carry as f32 0/1 (Mosaic rejects i1
+        # vectors as loop/cond carries)
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
 
         def body(k, occ):
             def do_sweep(occ):
                 off = k * chunk
                 t, _, _ = _mt_planes_at(lambda c: col_dyn(off, c), o, d)
-                return occ | (jnp.min(t, axis=0, keepdims=True) < _BIG)
+                hit = jnp.min(t, axis=0, keepdims=True) < _BIG
+                return jnp.maximum(occ, hit.astype(jnp.float32))
 
             if chunk_box is None:
                 return do_sweep(occ)
             # skip iff every lane is already occluded or misses the box
-            big = jnp.where(occ, -_BIG, _BIG)  # occluded lanes stop voting
+            big = jnp.where(occ > 0.0, -_BIG, _BIG)  # occluded lanes
             return jax.lax.cond(jnp.any(_box_reachable(k, o, d, big)),
                                 do_sweep, lambda c: c, occ)
 
-        return jax.lax.fori_loop(0, n_chunks, body,
-                                 jnp.zeros(shape, bool))
+        occ = jax.lax.fori_loop(0, n_chunks, body,
+                                jnp.zeros(shape, jnp.float32))
+        return occ > 0.0
 
     sweep.any_hit = any_hit
     return None, sweep

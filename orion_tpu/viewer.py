@@ -123,17 +123,42 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
     # per frame — the closest thing to rviewer's 60fps GL loop the
     # tracer itself can offer)
     fused = getattr(ps, "_viewer_fused", None)
-    if (fused is None and ps.scene.num_lights == 0
-            and jax.default_backend() == "tpu"):
-        from orion_tpu.ops.pallas_fused import (fused_path_supported,
-                                                make_fused_path_renderer)
+    if fused is None and jax.default_backend() == "tpu":
+        depth = max(int(rtc.recursion_level), 1)
+        spp = max(samples, 1)
+        if ps.scene.num_lights == 0:
+            from orion_tpu.ops.pallas_fused import (
+                fused_path_supported, make_fused_path_renderer)
 
-        if fused_path_supported(ps.scene):
-            fused = make_fused_path_renderer(
-                ps.scene, camera, samples=max(samples, 1),
-                max_depth=max(int(rtc.recursion_level), 1),
-                light_samples=1, ray_block=256)
-            ps._viewer_fused = (fused, max(samples, 1))
+            if fused_path_supported(ps.scene):
+                fused = make_fused_path_renderer(
+                    ps.scene, camera, samples=spp, max_depth=depth,
+                    light_samples=1, ray_block=256)
+        else:
+            from orion_tpu.ops.pallas_whitted import (
+                fused_whitted_supported, make_fused_whitted_renderer)
+
+            if fused_whitted_supported(ps.scene):
+                fused = make_fused_whitted_renderer(
+                    ps.scene, camera, samples=spp, max_depth=depth,
+                    ray_block=256)
+            else:
+                from orion_tpu.ops.pallas_bvh_whitted import (
+                    bvh_whitted_supported, make_bvh_whitted_renderer)
+
+                # tree child order is baked for the BUILD camera octant;
+                # flying across octants loses the near-first ordering
+                # win but stays correct — fine for a preview
+                if bvh_whitted_supported(ps.scene):
+                    try:
+                        fused = make_bvh_whitted_renderer(
+                            ps.scene, camera, samples=spp,
+                            max_depth=depth,
+                            order_signs=ps.order_signs)
+                    except ValueError:  # over the residency cap
+                        fused = None
+        if fused is not None:
+            ps._viewer_fused = (fused, spp)
     if fused is not None:
         fn, built_spp = ps._viewer_fused
         if built_spp == max(samples, 1):

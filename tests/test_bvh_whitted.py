@@ -1,0 +1,83 @@
+"""BVH Whitted megakernel (ops/pallas_bvh_whitted.py), interpret mode.
+
+The exact oracle is the BRUTE Whitted megakernel (ops/pallas_whitted.py):
+both draw the same PCG4D streams from the same seeds, so on the same
+scene their images must agree to float rounding — any larger difference
+is a traversal or attribute-picking bug, not estimator variance. The
+wavefront comparison is statistical (different jitter stream).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orion_tpu.camera import Camera
+from orion_tpu.ops.pallas_bvh_whitted import (bvh_whitted_supported,
+                                              make_bvh_whitted_renderer)
+from orion_tpu.ops.pallas_whitted import make_fused_whitted_renderer
+from orion_tpu.render import render
+from orion_tpu.scene import load_scene, make_synthetic_scene
+
+ASSETS = "/root/reference/assets"
+
+
+@pytest.fixture(scope="module")
+def soup():
+    scene = make_synthetic_scene(1500, seed=3)
+    # nonzero Ks so the mirror-continuation path runs
+    scene = dataclasses.replace(
+        scene, mat_specular=jnp.asarray(np.full((1, 3), 0.25, np.float32)))
+    cam = Camera(origin=jnp.asarray([0.0, 0.0, 35.0]),
+                 front=jnp.asarray([0.0, 0.0, -1.0]),
+                 right=jnp.asarray([1.0, 0.0, 0.0]),
+                 up=jnp.asarray([0.0, 1.0, 0.0]), xres=48, yres=32)
+    return scene, cam
+
+
+def test_gate(soup):
+    scene, _ = soup
+    assert bvh_whitted_supported(scene)
+    textured = dataclasses.replace(
+        scene, mat_map_diffuse=jnp.zeros(1, jnp.int32))
+    assert not bvh_whitted_supported(textured)  # texture maps
+    no_light, _ = load_scene(f"{ASSETS}/cornell-box.rtc")
+    assert not bvh_whitted_supported(no_light)  # no point lights
+
+
+def test_matches_brute_megakernel_exactly(soup):
+    scene, cam = soup
+    key = jax.random.key(0)
+    img_b = np.asarray(make_bvh_whitted_renderer(
+        scene, cam, samples=4, max_depth=2)(key))
+    img_f = np.asarray(make_fused_whitted_renderer(
+        scene, cam, samples=4, max_depth=2)(key))
+    np.testing.assert_allclose(img_b, img_f, atol=5e-5, rtol=1e-4)
+    assert img_b.mean() > 0.01  # non-vacuous
+
+
+def test_matches_wavefront_statistically(soup):
+    scene, cam = soup
+    img_k = np.asarray(make_bvh_whitted_renderer(
+        scene, cam, samples=8, max_depth=2)(jax.random.key(0)))
+    img_w = np.asarray(render(scene, cam, jax.random.key(1), samples=8,
+                              max_depth=2, light_samples=1,
+                              mode="whitted"))
+    assert np.isfinite(img_k).all()
+    corr = float((img_k * img_w).sum()
+                 / (np.linalg.norm(img_k) * np.linalg.norm(img_w) + 1e-20))
+    assert corr > 0.9, corr
+    assert img_k.mean() == pytest.approx(img_w.mean(), rel=0.15)
+
+
+def test_deterministic(soup):
+    scene, cam = soup
+    fn = make_bvh_whitted_renderer(scene, cam, samples=2, max_depth=1)
+    a = np.asarray(fn(jax.random.key(7)))
+    b = np.asarray(fn(jax.random.key(7)))
+    c = np.asarray(fn(jax.random.key(8)))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
