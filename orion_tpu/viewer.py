@@ -294,9 +294,50 @@ def main(argv=None) -> int:
     p.add_argument("-p", dest="samples", type=int, default=1)
     p.add_argument("--out", default="preview.png")
     p.add_argument("--dump", default="dump.rtc")
+    p.add_argument("--fps-probe", type=int, default=0, metavar="N",
+                   help="Render N frames along a camera orbit and print "
+                        "achieved FPS (the rviewer-60fps-GL-loop "
+                        "comparison point), then exit")
     args = p.parse_args(argv)
+    if args.fps_probe:
+        return fps_probe(args.rtc_file, xres=args.xres, yres=args.yres,
+                         samples=args.samples, frames=args.fps_probe)
     run_viewer(args.rtc_file, xres=args.xres, yres=args.yres,
                samples=args.samples, out=args.out, dump_path=args.dump)
+    return 0
+
+
+def fps_probe(rtc_file, *, xres: int, yres: int, samples: int,
+              frames: int) -> int:
+    """Measure preview frame rate: fly the camera along a small orbit and
+    re-render every frame (megakernel path when the scene supports it —
+    the camera rides in scalar memory, so no frame recompiles).
+
+    The reference's rviewer is a 60fps GL rasterizer loop
+    (viewer/main.cpp:127-173) that previews with a DIFFERENT renderer;
+    this probe reports what the real tracer sustains per frame.
+    """
+    import json
+    import time
+
+    from orion_tpu.engine import prepare
+
+    ps = prepare(rtc_file, xres=xres, yres=yres)
+    cam = FlyCamera.from_rtc(ps.rtc)
+    out = "/tmp/orion_fps_probe.png"
+
+    ps = _render_preview(ps, cam, samples, out, xres, yres)  # warm/compile
+    t0 = time.perf_counter()
+    for i in range(frames):
+        cam.yaw += TURN / 8.0
+        ps = _render_preview(ps, cam, samples, out, xres, yres)
+    dt = (time.perf_counter() - t0) / frames
+    print(json.dumps({
+        "resolution": [xres, yres], "samples": samples, "frames": frames,
+        "backend": ("megakernel" if getattr(ps, "_viewer_fused", None)
+                    else ps.backend),
+        "ms_per_frame": round(dt * 1e3, 2),
+        "fps": round(1.0 / dt, 1)}))
     return 0
 
 
