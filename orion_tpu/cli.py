@@ -111,6 +111,18 @@ def _maybe_fused(ps, args, max_depth):
                     order_signs=ps.order_signs), "bvh-whitted-pallas"
             except ValueError:
                 pass  # over the residency cap: wavefront it is
+        from orion_tpu.ops.pallas_bvh_whitted import (
+            bvh_whitted_deferred_supported, make_bvh_whitted_deferred)
+
+        if bvh_whitted_deferred_supported(ps.scene, max_depth):
+            # textured depth-0 scenes: deferred-texturing megakernel
+            try:
+                return make_bvh_whitted_deferred(
+                    ps.scene, ps.camera, samples=args.samples,
+                    max_depth=max_depth, strategy=args.strategy,
+                    order_signs=ps.order_signs), "bvh-whitted-deferred"
+            except ValueError:
+                pass  # over the residency cap: wavefront it is
     if want:
         raise SystemExit("error: --backend fused, but the scene is "
                          "outside the megakernel gate (textures / "
@@ -132,8 +144,10 @@ def main(argv=None) -> int:
     ps = prepare(args.rtc_file, strategy=args.strategy,
                  force_backend=force,
                  xres=args.xres, yres=args.yres)
+    # the reference caps trace() at rtc.recursion_level exactly
+    # (raytracer.cpp:29,203-206); nanosuit/hindu say 0 — no bounces
     max_depth = (args.depth if args.depth is not None
-                 else max(int(ps.rtc.recursion_level), 1))
+                 else int(ps.rtc.recursion_level))
     key = jax.random.key(args.seed)
 
     if args.regen:

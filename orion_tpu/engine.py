@@ -292,11 +292,12 @@ def render_prepared(ps: PreparedScene, key, *, samples: int = 1,
                     max_depth: Optional[int] = None,
                     mode: Optional[str] = None):
     """Render a PreparedScene; max_depth defaults to the rtc recursion
-    level (raytracer.cpp:29 uses rtc.recursion_level as the depth cap)."""
+    level EXACTLY (raytracer.cpp:29,203-206 cap trace() at
+    rtc.recursion_level — nanosuit.rtc/hindu.rtc say 0: no bounces)."""
     from orion_tpu.render import render
 
     if max_depth is None:
-        max_depth = max(int(ps.rtc.recursion_level), 1)
+        max_depth = int(ps.rtc.recursion_level)
     return render(ps.scene, ps.camera, key, samples=samples,
                   max_depth=max_depth, light_samples=light_samples,
                   mode=mode, intersect=ps.intersect,

@@ -57,17 +57,26 @@ _R_GN, _R_KA, _R_KD, _R_KS = 18, 21, 24, 27
 _R_SHIN = 30
 _R_KE, _R_AREA = 31, 34
 _ROWS = 40
+# textured (deferred) extension rows: per-corner texture coordinates laid
+# out corner-major (uv0.x, uv1.x, uv2.x | uv0.y, uv1.y, uv2.y) so the
+# barycentric interpolation is three CONSECUTIVE rows per component, plus
+# the material id as f32 (exact: M << 2^24)
+_R_UVX, _R_UVY, _R_MAT = 40, 43, 46
+_ROWS_TEX = 48
 
 
-def pack_bvh_attr_table(bvh: BVH, scene: Scene) -> np.ndarray:
-    """[40, B_pad] component rows in BUNDLED order: geometry (v0|e1|e2)
-    plus per-corner normals, geometric normal, and solid Phong material
-    columns resolved through bvh.tri_orig. Padding columns are degenerate
+def pack_bvh_attr_table(bvh: BVH, scene: Scene,
+                        textured: bool = False) -> np.ndarray:
+    """[40 (48 textured), B_pad] component rows in BUNDLED order:
+    geometry (v0|e1|e2) plus per-corner normals, geometric normal, and
+    solid Phong material columns resolved through bvh.tri_orig; the
+    textured form appends per-corner UVs and the material id for the
+    deferred-texturing kernel. Padding columns are degenerate
     (e1 = e2 = 0) and carry zero material."""
     B = int(bvh.tri_v0.shape[0])
     B_pad = ((max(B, LEAF_WIDTH) + LEAF_WIDTH - 1)
              // LEAF_WIDTH) * LEAF_WIDTH
-    tab = np.zeros((_ROWS, B_pad), np.float32)
+    tab = np.zeros((_ROWS_TEX if textured else _ROWS, B_pad), np.float32)
     tab[_R_V0:_R_V0 + 3, :B] = np.asarray(bvh.tri_v0).T
     tab[_R_E1:_R_E1 + 3, :B] = np.asarray(bvh.tri_e1).T
     tab[_R_E2:_R_E2 + 3, :B] = np.asarray(bvh.tri_e2).T
@@ -91,6 +100,12 @@ def pack_bvh_attr_table(bvh: BVH, scene: Scene) -> np.ndarray:
     tab[_R_SHIN, :B] = np.asarray(scene.mat_shininess)[mat] * m
     tab[_R_KE:_R_KE + 3, :B] = (np.asarray(scene.mat_emissive)[mat] * m[:, None]).T
     tab[_R_AREA, :B] = np.asarray(scene.mesh_area)[mat] * m
+    if textured:
+        for c in range(2):
+            tab[_R_UVX + 3 * c + 0, :B] = np.asarray(scene.uv0)[orig, c]
+            tab[_R_UVX + 3 * c + 1, :B] = np.asarray(scene.uv1)[orig, c]
+            tab[_R_UVX + 3 * c + 2, :B] = np.asarray(scene.uv2)[orig, c]
+        tab[_R_MAT, :B] = mat.astype(np.float32) * m
     return tab
 
 
@@ -137,15 +152,85 @@ _N_PICKS = 16
 _N_PICKS_EM = _N_PICKS + 4  # + ke (3), area (1)
 
 
-def _make_walk(node, tab_ref, M, with_emissive):
+def _interp3(blk_t, base, u, v, w):
+    """w*row[base] + u*row[base+1] + v*row[base+2] composed ON the [W, RB]
+    planes (one pick instead of three)."""
+    return (w * blk_t[:, base:base + 1] + u * blk_t[:, base + 1:base + 2]
+            + v * blk_t[:, base + 2:base + 3])
+
+
+def _solid_planes(with_emissive):
+    """Plane builder for the untextured kernel: interpolated shading
+    normal composed on the MT planes (3 picks, not 9 corner components),
+    then the solid material rows."""
+
+    def build(blk_t, u, v, w, pick, pick_row):
+        new = []
+        for c in range(3):
+            sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
+                    + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
+                    + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
+            new.append(pick(sn_c))
+        for r in (_R_GN, _R_GN + 1, _R_GN + 2,
+                  _R_KA, _R_KA + 1, _R_KA + 2,
+                  _R_KD, _R_KD + 1, _R_KD + 2,
+                  _R_KS, _R_KS + 1, _R_KS + 2,
+                  _R_SHIN):
+            new.append(pick_row(r))
+        if with_emissive:
+            for r in (_R_KE, _R_KE + 1, _R_KE + 2, _R_AREA):
+                new.append(pick_row(r))
+        return new
+
+    return build, _N_PICKS_EM if with_emissive else _N_PICKS
+
+
+# deferred picks: sn (3), gn (3), ka (3), shin, uv (2 interpolated), mat
+_D_SN, _D_GN, _D_KA, _D_SHIN, _D_UVX, _D_UVY, _D_MAT = 0, 3, 6, 9, 10, 11, 12
+_N_PICKS_DEF = 13
+_D_KE, _D_AREA = 13, 16
+
+
+def _deferred_planes(with_emissive):
+    """Plane builder for the deferred-texturing kernel: no kd/ks (those
+    are resolved AFTER the kernel by the texture epilogue); instead the
+    interpolated texture coordinates and the material id ride out."""
+
+    def build(blk_t, u, v, w, pick, pick_row):
+        new = []
+        for c in range(3):
+            sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
+                    + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
+                    + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
+            new.append(pick(sn_c))
+        for r in (_R_GN, _R_GN + 1, _R_GN + 2,
+                  _R_KA, _R_KA + 1, _R_KA + 2,
+                  _R_SHIN):
+            new.append(pick_row(r))
+        new.append(pick(_interp3(blk_t, _R_UVX, u, v, w)))
+        new.append(pick(_interp3(blk_t, _R_UVY, u, v, w)))
+        new.append(pick_row(_R_MAT))
+        if with_emissive:
+            for r in (_R_KE, _R_KE + 1, _R_KE + 2, _R_AREA):
+                new.append(pick_row(r))
+        return new
+
+    return build, _N_PICKS_DEF + (4 if with_emissive else 0)
+
+
+def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
     """Closest-hit walk with in-leaf winner attribute picking.
 
     node: dict of scalar-prefetch refs (lox..loz, hix..hiz, skip, start).
+    plane_spec: (build, n_picks) — which attribute planes the winner
+    select-reduce carries out of the leaf (default: the solid set).
     Returns closest(o, d, lane_alive) ->
         (t [1,RB], hit [1,RB], picks [list of N [1,RB] planes])
     and occluded(o, d, need) -> [1,RB] bool (any-hit walk).
     """
-    n_picks = _N_PICKS_EM if with_emissive else _N_PICKS
+    if plane_spec is None:
+        plane_spec = _solid_planes(with_emissive)
+    build_planes, n_picks = plane_spec
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (LEAF_WIDTH, 1), 0)
 
     def _slab(ptr, o, inv, t_b):
@@ -214,24 +299,8 @@ def _make_walk(node, tab_ref, M, with_emissive):
                         return pick(jnp.broadcast_to(blk_t[:, r:r + 1],
                                                      t.shape))
 
-                    w = 1.0 - u - v
-                    new = []
-                    # interpolated (unnormalized) shading normal per
-                    # component, composed on the planes: 3 picks not 9
-                    for c in range(3):
-                        sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
-                                + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
-                                + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
-                        new.append(pick(sn_c))
-                    for r in (_R_GN, _R_GN + 1, _R_GN + 2,
-                              _R_KA, _R_KA + 1, _R_KA + 2,
-                              _R_KD, _R_KD + 1, _R_KD + 2,
-                              _R_KS, _R_KS + 1, _R_KS + 2,
-                              _R_SHIN):
-                        new.append(pick_row(r))
-                    if with_emissive:
-                        for r in (_R_KE, _R_KE + 1, _R_KE + 2, _R_AREA):
-                            new.append(pick_row(r))
+                    new = build_planes(blk_t, u, v, 1.0 - u - v, pick,
+                                       pick_row)
                     out = [jnp.where(better, t_min, t_b)]
                     out += [jnp.where(better, n, p)
                             for n, p in zip(new, picks)]
@@ -488,3 +557,221 @@ def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
         return _impl(cv, seed_scalar(key))
 
     return render_bvh_whitted
+
+
+# --------------------------------------------------------------------------
+# Deferred texturing: the megakernel for TEXTURED Whitted scenes.
+#
+# The texture atlas (nanosuit: ~190 MB) can never be VMEM-resident, so the
+# kernel defers the two texture-dependent factors of the Phong sum
+# (material.hpp:72-93): it emits, per (pixel, sample), the interpolated
+# texture coordinates, the material id, and the two light-sum coefficient
+# vectors
+#     Cd = sum_l light_color * n.l * vis * intensity/d^2      (x kd(uv))
+#     Cs = sum_l light_color * 0.5*spec^shin * vis * inten/d^2 (x ks(uv))
+# while the texture-INdependent terms (solid ambient, depth-0 emissive)
+# accumulate per-pixel inside the kernel as usual. A jnp epilogue then
+# resolves kd/ks through the shelf-packed atlas (ops/shade.diffuse_color /
+# specular_color — the exact wavefront semantics, floored-mod wrap) and
+# contracts the records over samples with a lax.scan. Total record traffic
+# is _REC_ROWS x 4 B per camera ray — one streaming HBM write the 552 GB/s
+# chip absorbs in milliseconds, vs. the wavefront's per-(sample,bounce)
+# state round-trips.
+#
+# Scope: max_depth == 0 only. The mirror continuation multiplies the
+# throughput by ks(uv) (raytracer.cpp:203-206), which would need the
+# texture INSIDE the kernel; nanosuit.rtc's own recursion level is 0
+# (the reference's traceRTC caps trace() there, raytracer.cpp:29,203-206),
+# so the deferred kernel covers the reference's entire textured benchmark
+# surface. Deeper textured scenes render through the wavefront.
+# --------------------------------------------------------------------------
+
+# record rows per sample: uvx, uvy, mat, Cd rgb, Cs rgb (+ 7 pad rows so
+# the dynamic store offset stays 8-aligned for f32 sublane tiling)
+_REC_ROWS = 16
+
+
+def bvh_whitted_deferred_supported(scene: Scene, max_depth: int) -> bool:
+    """Gate: Whitted scene with few lights, depth-0 recursion (textures
+    allowed — that is the point)."""
+    return max_depth == 0 and 1 <= int(scene.num_lights) <= MAX_LIGHTS
+
+
+def _make_deferred_kernel(M, W, H, samples, lights, n_pix,
+                          with_emissive):
+    n_lights, l_pos, l_color, l_inten = lights
+
+    def kernel(cam_ref, seed_ref, base_ref, n_lox, n_loy, n_loz,
+               n_hix, n_hiy, n_hiz, n_skip, n_start, tab_ref, out_ref):
+        rb = out_ref.shape[1]
+        seed = seed_ref[0]
+        node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
+                "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
+                "skip": n_skip, "start": n_start}
+
+        def cam(i):
+            return cam_ref[i]
+
+        pix0 = pl.program_id(0) * rb + base_ref[0]
+        pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
+        in_image = pix < n_pix
+        in_f = in_image.astype(jnp.float32)
+
+        closest, occluded = _make_walk(
+            node, tab_ref, M, with_emissive,
+            plane_spec=_deferred_planes(with_emissive))
+        primary = _make_primary(cam, seed, pix, W, H)
+        zeros = jnp.zeros((1, rb), jnp.float32)
+
+        def body(s, acc):
+            ar, ag, ab = acc
+            # depth 0: every lane is on sample s — lockstep regeneration,
+            # so the record row offset is the SCALAR loop index
+            samp = jnp.zeros((1, rb), jnp.int32) + s
+            ox, oy, oz, dx, dy, dz = primary(samp)
+            t, hit, picks = closest((ox, oy, oz), (dx, dy, dz), in_image)
+            tt = jnp.where(hit, t, 0.0)
+            hx, hy, hz = ox + tt * dx, oy + tt * dy, oz + tt * dz
+            sn = _norm3(picks[_D_SN], picks[_D_SN + 1], picks[_D_SN + 2])
+            gn = picks[_D_GN:_D_GN + 3]
+            ka = picks[_D_KA:_D_KA + 3]
+            shin = picks[_D_SHIN]
+
+            r3 = [zeros, zeros, zeros]
+            if with_emissive:
+                ndx, ndy, ndz = _norm3(dx, dy, dz)
+                cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
+                em_scale = jnp.where(hit, picks[_D_AREA] * cosv, 0.0)
+                r3 = [r3[c] + picks[_D_KE + c] * em_scale
+                      for c in range(3)]
+
+            vdx, vdy, vdz = _norm3(-dx, -dy, -dz)
+            sox = hx + BIAS * gn[0]
+            soy = hy + BIAS * gn[1]
+            soz = hz + BIAS * gn[2]
+            cd = [zeros, zeros, zeros]
+            cs = [zeros, zeros, zeros]
+            for li in range(n_lights):
+                lp = [np.float32(l_pos[li, c]) for c in range(3)]
+                tlx, tly, tlz = lp[0] - hx, lp[1] - hy, lp[2] - hz
+                d2 = tlx * tlx + tly * tly + tlz * tlz
+                lit = hit & jnp.logical_not(
+                    occluded((sox, soy, soz), (tlx, tly, tlz), hit))
+                ldx, ldy, ldz = _norm3(tlx, tly, tlz)
+                ndotl = jnp.maximum(sn[0] * ldx + sn[1] * ldy
+                                    + sn[2] * ldz, 0.0)
+                dot_ln = -(ldx * sn[0] + ldy * sn[1] + ldz * sn[2])
+                rx = -ldx - 2.0 * dot_ln * sn[0]
+                ry = -ldy - 2.0 * dot_ln * sn[1]
+                rz = -ldz - 2.0 * dot_ln * sn[2]
+                spec_cos = jnp.maximum(vdx * rx + vdy * ry + vdz * rz,
+                                       0.0)
+                spec = 0.5 * _pow_like_c(spec_cos, shin)
+                scale = lit.astype(jnp.float32) * np.float32(l_inten[li]) \
+                    / jnp.maximum(d2, 1e-20)
+                for c in range(3):
+                    lc = np.float32(l_color[li, c])
+                    r3[c] = r3[c] + lc * ka[c] * scale
+                    cd[c] = cd[c] + lc * ndotl * scale
+                    cs[c] = cs[c] + lc * spec * scale
+
+            rec = jnp.concatenate(
+                [picks[_D_UVX], picks[_D_UVY], picks[_D_MAT],
+                 cd[0] * in_f, cd[1] * in_f, cd[2] * in_f,
+                 cs[0] * in_f, cs[1] * in_f, cs[2] * in_f]
+                + [zeros] * (_REC_ROWS - 9), axis=0)
+            out_ref[pl.ds(pl.multiple_of(s * _REC_ROWS, 8),
+                          _REC_ROWS), :] = rec
+            return (ar + r3[0] * in_f, ag + r3[1] * in_f,
+                    ab + r3[2] * in_f)
+
+        acc = jax.lax.fori_loop(0, samples, body, (zeros, zeros, zeros))
+        out_ref[pl.ds(samples * _REC_ROWS, 8), :] = jnp.concatenate(
+            [acc[0], acc[1], acc[2]] + [zeros] * 5, axis=0)
+
+    return kernel
+
+
+def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
+                              max_depth: int = 0, strategy: str = SAH,
+                              ray_block: int = RAY_BLOCK,
+                              order_signs=(1.0, 1.0, 1.0),
+                              interpret: bool | None = None):
+    """Build `fn(key) -> [H, W, 3]`: the textured Whitted render as one
+    BVH megakernel launch plus a texture-resolve epilogue (deferred
+    texturing). Raises outside the gate (depth > 0 / lights) or past the
+    bundled-row residency cap."""
+    if not bvh_whitted_deferred_supported(scene, max_depth):
+        raise ValueError("scene outside the deferred bvh-whitted gate "
+                         "(max_depth must be 0; 1..MAX_LIGHTS lights)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=strategy,
+                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       order_signs=order_signs)
+    if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+        raise ValueError(
+            f"{bvh.num_bundled} bundled rows exceed the attr-table "
+            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    n_pad = ((max(n_pix, ray_block) + ray_block - 1)
+             // ray_block) * ray_block
+
+    tab = jnp.asarray(pack_bvh_attr_table(bvh, scene, textured=True))
+    node_scalars = tuple(
+        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    lights = _lights_consts(scene)
+    kernel = _make_deferred_kernel(bvh.num_nodes, W, H, samples,
+                                   lights, n_pix,
+                                   scene.num_emissive > 0)
+    cam_v = camera_vec(camera)
+    out_rows = samples * _REC_ROWS + 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((out_rows, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+    zero_base = jnp.zeros((1,), jnp.int32)
+
+    from orion_tpu.ops.shade import diffuse_color, specular_color
+
+    @jax.jit
+    def _impl(cv, seed):
+        out = call(cv, seed, zero_base, *node_scalars, tab)
+        acc = out[samples * _REC_ROWS:samples * _REC_ROWS + 3].T  # [n_pad,3]
+        rec = out[:samples * _REC_ROWS].reshape(samples, _REC_ROWS, n_pad)
+
+        def step(car, r):
+            uv = r[0:2].T                        # [n_pad, 2]
+            mat = r[2].astype(jnp.int32)         # [n_pad]
+            cd = r[3:6].T
+            cs = r[6:9].T
+            kd = diffuse_color(scene, mat, uv)
+            ks = specular_color(scene, mat, uv)
+            return car + cd * kd + cs * ks, None
+
+        contrib, _ = jax.lax.scan(step, acc, rec)
+        img = contrib * np.float32(1.0 / samples)
+        return img[:n_pix].reshape(H, W, 3)
+
+    def render_deferred(key, camera_override=None) -> jax.Array:
+        cv = cam_v if camera_override is None else camera_vec(
+            camera_override)
+        return _impl(cv, seed_scalar(key))
+
+    return render_deferred

@@ -124,7 +124,7 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
     # tracer itself can offer)
     fused = getattr(ps, "_viewer_fused", None)
     if fused is None and jax.default_backend() == "tpu":
-        depth = max(int(rtc.recursion_level), 1)
+        depth = int(rtc.recursion_level)
         spp = max(samples, 1)
         if ps.scene.num_lights == 0:
             from orion_tpu.ops.pallas_fused import (
@@ -171,7 +171,7 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
     # near-first traversal win — re-flatten (no-op when unchanged)
     ps = refresh_octant_order(ps, camera.front)
     img = render(ps.scene, camera, jax.random.key(0), samples=samples,
-                 max_depth=max(int(rtc.recursion_level), 1),
+                 max_depth=int(rtc.recursion_level),
                  light_samples=1, intersect=ps.intersect)
     save_image(out_path, np.asarray(img))
     return ps
