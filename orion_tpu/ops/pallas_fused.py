@@ -320,15 +320,19 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
         def mt_planes(o, d):
             return _mt_planes_at(col, o, d)
 
-        def sweep(o, d, attr_cols):
+        def sweep(o, d, attr_cols, alive=None):
             """Nearest hit + winner attributes.
 
             Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
+            `alive` is advisory (work-skipping only) — a single-slice
+            sweep has no control flow to save, so it is ignored here.
             """
+            del alive
             t_min, u, v, got = _slice_sweep(col, o, d, attr_cols)
             return t_min, t_min < _BIG, u, v, got
 
-        def any_hit(o, d):
+        def any_hit(o, d, alive=None):
+            del alive
             t, _, _ = mt_planes(o, d)
             return jnp.min(t, axis=0, keepdims=True) < _BIG
 
@@ -354,7 +358,7 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
                            jnp.maximum(tz0, tz1))
         return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
 
-    def sweep(o, d, attr_cols):
+    def sweep(o, d, attr_cols, alive=None):
         attr_cols = tuple(attr_cols)
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
         zero = jnp.zeros(shape, jnp.float32)
@@ -377,8 +381,13 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
 
             if chunk_box is None:
                 return do_sweep(carry)
+            # dead lanes never vote for a chunk (live segment is empty):
+            # value-identical for live lanes — a skipped chunk contains
+            # nothing that could improve any of them
+            t_gate = (carry[0] if alive is None
+                      else jnp.where(alive, carry[0], -_BIG))
             return jax.lax.cond(
-                jnp.any(_box_reachable(k, o, d, carry[0])),
+                jnp.any(_box_reachable(k, o, d, t_gate)),
                 do_sweep, lambda c: c, carry)
 
         init = (jnp.full(shape, _BIG), zero, zero,
@@ -387,7 +396,7 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
         return (t_b, t_b < _BIG, u_b, v_b,
                 dict(zip(attr_cols, got_b)))
 
-    def any_hit(o, d):
+    def any_hit(o, d, alive=None):
         # occlusion rides the fori carry as f32 0/1 (Mosaic rejects i1
         # vectors as loop/cond carries)
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
@@ -401,8 +410,10 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
 
             if chunk_box is None:
                 return do_sweep(occ)
-            # skip iff every lane is already occluded or misses the box
+            # skip iff every lane is already occluded, dead, or misses
             big = jnp.where(occ > 0.0, -_BIG, _BIG)  # occluded lanes
+            if alive is not None:
+                big = jnp.where(alive, big, -_BIG)
             return jax.lax.cond(jnp.any(_box_reachable(k, o, d, big)),
                                 do_sweep, lambda c: c, occ)
 
@@ -539,7 +550,8 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         st, s_hit, su, sv, s_got = sweep(
             (sox, soy, soz), (sdx, sdy, sdz),
             tuple(range(_C_N0, _C_N0 + 9))
-            + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH))
+            + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH),
+            alive=hit)
         visible = (s_hit & hit
                    & (s_got[_C_MESH] == np.float32(em_mesh)))
         lnx, lny, lnz = _interp_n(su, sv, s_got,
@@ -602,7 +614,7 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
                      max_depth, light_samples, emitter, samp_slots=0,
-                     col_dyn=None, chunk_box=None):
+                     col_dyn=None, chunk_box=None, sweep=None):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
@@ -616,9 +628,16 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
     state from at each sample regeneration (ops/pallas_prb.py).
 
     col_dyn: dynamic row-slice accessor enabling the chunked sweep for
-    T_pad > FUSED_CHUNK (see _make_geom)."""
-    _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK, col_dyn=col_dyn,
-                          chunk_box=chunk_box)
+    T_pad > FUSED_CHUNK (see _make_geom).
+
+    sweep: a prebuilt geometry sweep with _make_geom's interface
+    (sweep(o, d, attr_cols, alive=None) -> (t, hit, u, v, {col: plane})).
+    This is how the BVH path megakernel (ops/pallas_bvh_path.py) reuses
+    this EXACT estimator over tree traversal instead of brute sweeps —
+    col/T_pad/col_dyn/chunk_box are ignored when it is given."""
+    if sweep is None:
+        _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
+                              col_dyn=col_dyn, chunk_box=chunk_box)
     primary = _make_primary(cam, seed, pix, W, H)
     nee = _make_nee(sweep, emitter, seed, pix, light_samples)
     S = jnp.int32(samples)
@@ -629,7 +648,7 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
         ls_planes = carry[14:]
 
         t, hit, u, v, got = sweep((ox, oy, oz), (dx, dy, dz),
-                                  _BOUNCE_ATTRS)
+                                  _BOUNCE_ATTRS, alive=samp < S)
         hitf = hit.astype(jnp.float32)
 
         # hit point + normals
