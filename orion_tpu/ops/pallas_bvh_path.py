@@ -189,9 +189,15 @@ def _make_path_sweep(node, tab_ref, M):
                         return jnp.sum(jnp.where(sel, p, 0.0), axis=0,
                                        keepdims=True)
 
-                    new = [pick(jnp.broadcast_to(blk_t[:, c:c + 1],
-                                                 t.shape))
-                           for c in attr_cols]
+                    # winner attrs as ONE one-hot MXU contraction
+                    # (bit-exact; see pallas_fused._make_geom) instead
+                    # of 3 VPU plane-ops per column
+                    got_all = jax.lax.dot_general(
+                        blk_t, sel.astype(jnp.float32),
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # [32, RB]
+                    new = [got_all[c:c + 1, :] for c in attr_cols]
                     out = [jnp.where(better, t_min, t_b),
                            jnp.where(better, pick(u), u_b),
                            jnp.where(better, pick(v), v_b)]

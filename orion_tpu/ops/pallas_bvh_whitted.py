@@ -152,25 +152,26 @@ _N_PICKS = 16
 _N_PICKS_EM = _N_PICKS + 4  # + ke (3), area (1)
 
 
-def _interp3(blk_t, base, u, v, w):
-    """w*row[base] + u*row[base+1] + v*row[base+2] composed ON the [W, RB]
-    planes (one pick instead of three)."""
-    return (w * blk_t[:, base:base + 1] + u * blk_t[:, base + 1:base + 2]
-            + v * blk_t[:, base + 2:base + 3])
+def _interp3(pick_row, base, u, v, w):
+    """w*row[base] + u*row[base+1] + v*row[base+2] composed on the picked
+    [1, RB] winner values (bit-equal to composing on the [W, RB] planes
+    and then picking — pick selects a single row, so the FMA chain runs
+    on the same values in the same order)."""
+    return (w * pick_row(base) + u * pick_row(base + 1)
+            + v * pick_row(base + 2))
 
 
 def _solid_planes(with_emissive):
     """Plane builder for the untextured kernel: interpolated shading
-    normal composed on the MT planes (3 picks, not 9 corner components),
-    then the solid material rows."""
+    normal composed from the gathered corner rows, then the solid
+    material rows. `pick_row(r)` is a [1, RB] winner-row accessor (an
+    MXU one-hot gather slice); u, v, w are the picked barycentrics."""
 
-    def build(blk_t, u, v, w, pick, pick_row):
+    def build(pick_row, u, v, w):
         new = []
         for c in range(3):
-            sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
-                    + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
-                    + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
-            new.append(pick(sn_c))
+            new.append(w * pick_row(_R_N0 + c) + u * pick_row(_R_N1 + c)
+                       + v * pick_row(_R_N2 + c))
         for r in (_R_GN, _R_GN + 1, _R_GN + 2,
                   _R_KA, _R_KA + 1, _R_KA + 2,
                   _R_KD, _R_KD + 1, _R_KD + 2,
@@ -196,19 +197,17 @@ def _deferred_planes(with_emissive):
     are resolved AFTER the kernel by the texture epilogue); instead the
     interpolated texture coordinates and the material id ride out."""
 
-    def build(blk_t, u, v, w, pick, pick_row):
+    def build(pick_row, u, v, w):
         new = []
         for c in range(3):
-            sn_c = (w * blk_t[:, _R_N0 + c:_R_N0 + c + 1]
-                    + u * blk_t[:, _R_N1 + c:_R_N1 + c + 1]
-                    + v * blk_t[:, _R_N2 + c:_R_N2 + c + 1])
-            new.append(pick(sn_c))
+            new.append(w * pick_row(_R_N0 + c) + u * pick_row(_R_N1 + c)
+                       + v * pick_row(_R_N2 + c))
         for r in (_R_GN, _R_GN + 1, _R_GN + 2,
                   _R_KA, _R_KA + 1, _R_KA + 2,
                   _R_SHIN):
             new.append(pick_row(r))
-        new.append(pick(_interp3(blk_t, _R_UVX, u, v, w)))
-        new.append(pick(_interp3(blk_t, _R_UVY, u, v, w)))
+        new.append(_interp3(pick_row, _R_UVX, u, v, w))
+        new.append(_interp3(pick_row, _R_UVY, u, v, w))
         new.append(pick_row(_R_MAT))
         if with_emissive:
             for r in (_R_KE, _R_KE + 1, _R_KE + 2, _R_AREA):
@@ -295,12 +294,23 @@ def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
                         return jnp.sum(jnp.where(sel, p, 0.0), axis=0,
                                        keepdims=True)
 
-                    def pick_row(r):
-                        return pick(jnp.broadcast_to(blk_t[:, r:r + 1],
-                                                     t.shape))
+                    # ALL winner rows in one one-hot MXU contraction
+                    # (bit-exact — one-hot f32 products select rows
+                    # exactly); only the per-pair barycentrics still
+                    # need a VPU select-reduce
+                    got_all = jax.lax.dot_general(
+                        blk_t, sel.astype(jnp.float32),
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # [ROWS, RB]
 
-                    new = build_planes(blk_t, u, v, 1.0 - u - v, pick,
-                                       pick_row)
+                    def pick_row(r):
+                        return got_all[r:r + 1, :]
+
+                    u_p = pick(u)
+                    v_p = pick(v)
+                    new = build_planes(pick_row, u_p, v_p,
+                                       1.0 - u_p - v_p)
                     out = [jnp.where(better, t_min, t_b)]
                     out += [jnp.where(better, n, p)
                             for n, p in zip(new, picks)]

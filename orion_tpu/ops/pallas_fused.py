@@ -272,7 +272,8 @@ def _mt_planes_at(colk, o, d):
     return jnp.where(ok, t, _BIG), u, v
 
 
-def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
+def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
+               blk=None, blk_dyn=None):
     """Geometry sweeps over the triangle table via the accessor `col(c)`
     ([T_pad, 1] column). Returns (mt_planes, sweep); `sweep.any_hit(o, d)`
     is the occlusion-only form ([1, RB] bool).
@@ -291,6 +292,19 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
     segment [0, t_best) and the MT sweep is skipped when no lane can
     improve — value-identical, since a skipped chunk contains no
     triangle any lane could hit nearer than its current winner.
+
+    blk() -> [T_pad, 32] / blk_dyn(off) -> [chunk, 32] whole-table block
+    accessors: when given, the CHUNKED sweep gathers winner attributes by
+    ONE one-hot MXU contraction per chunk (tab^T @ onehot -> [32, RB])
+    instead of per-column VPU select-reduces (measured 1.37x on the
+    subdiv-2k bench config; the resident sweep measured a small LOSS at
+    cornell's 40 rows and keeps select-reduce — blk() is reserved). The select-reduce costs 3 plane-ops per attribute
+    ([rows, RB] broadcast + where + sum) — 63 plane-ops for the bounce's
+    21 columns, MORE than the MT math itself; the contraction replaces
+    all of it with one [rows, 32] x [rows, RB] matmul on the otherwise
+    idle MXU. BIT-EXACT: a one-hot f32 product selects the f32 row value
+    exactly (Precision.HIGHEST), and accumulating zeros is exact in any
+    order.
     """
     chunked = chunk is not None and T_pad > chunk
     if chunked:
@@ -301,7 +315,7 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
         rows = T_pad
     row_f = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
 
-    def _slice_sweep(colk, o, d, attr_cols):
+    def _slice_sweep(colk, o, d, attr_cols, blk_arr=None):
         """One slice: (t_min, u, v, got) with winner picked in-slice."""
         t, u, v = _mt_planes_at(colk, o, d)
         t_min = jnp.min(t, axis=0, keepdims=True)
@@ -312,8 +326,17 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
         def pick_plane(p):
             return jnp.sum(jnp.where(sel, p, 0.0), axis=0, keepdims=True)
 
-        got = {c: pick_plane(jnp.broadcast_to(colk(c), t.shape))
-               for c in attr_cols}
+        if blk_arr is None:
+            got = {c: pick_plane(jnp.broadcast_to(colk(c), t.shape))
+                   for c in attr_cols}
+        else:
+            # winner gather as an MXU one-hot contraction (bit-exact)
+            got_all = jax.lax.dot_general(
+                blk_arr, sel.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)    # [32, RB]
+            got = {c: got_all[c:c + 1, :] for c in attr_cols}
         return t_min, pick_plane(u), pick_plane(v), got
 
     if not chunked:
@@ -326,6 +349,11 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
             Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
             `alive` is advisory (work-skipping only) — a single-slice
             sweep has no control flow to save, so it is ignored here.
+
+            The resident (single-slice) sweep keeps VPU select-reduce
+            picks: measured on cornell (T_pad 40), the one-hot MXU
+            gather costs more than it saves below ~a full chunk of rows
+            (47.3 -> 44.6 M rays/s); the chunked sweep below uses it.
             """
             del alive
             t_min, u, v, got = _slice_sweep(col, o, d, attr_cols)
@@ -371,7 +399,9 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None):
                 def colk(c):
                     return col_dyn(off, c)
 
-                t_min, u, v, got = _slice_sweep(colk, o, d, attr_cols)
+                t_min, u, v, got = _slice_sweep(
+                    colk, o, d, attr_cols,
+                    blk_arr=None if blk_dyn is None else blk_dyn(off))
                 better = t_min < t_b
                 new_got = tuple(jnp.where(better, got[c], g)
                                 for c, g in zip(attr_cols, got_b))
@@ -614,7 +644,8 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
                      max_depth, light_samples, emitter, samp_slots=0,
-                     col_dyn=None, chunk_box=None, sweep=None):
+                     col_dyn=None, chunk_box=None, sweep=None,
+                     blk=None, blk_dyn=None):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
@@ -637,7 +668,8 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
     col/T_pad/col_dyn/chunk_box are ignored when it is given."""
     if sweep is None:
         _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
-                              col_dyn=col_dyn, chunk_box=chunk_box)
+                              col_dyn=col_dyn, chunk_box=chunk_box,
+                              blk=blk, blk_dyn=blk_dyn)
     primary = _make_primary(cam, seed, pix, W, H)
     nee = _make_nee(sweep, emitter, seed, pix, light_samples)
     S = jnp.int32(samples)
@@ -762,6 +794,13 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
             return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
                                  FUSED_CHUNK), c:c + 1]    # [CHUNK, 1]
 
+        def blk():
+            return tri_ref[:, :]                           # [T_pad, 32]
+
+        def blk_dyn(off):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), :]          # [CHUNK, 32]
+
         def chunk_box(k):
             return ((clo_ref[3 * k], clo_ref[3 * k + 1],
                      clo_ref[3 * k + 2]),
@@ -778,7 +817,8 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
         body, cond, init = _make_regen_body(
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
             light_samples, emitter, col_dyn=col_dyn,
-            chunk_box=chunk_box if chunked else None)
+            chunk_box=chunk_box if chunked else None,
+            blk=blk, blk_dyn=blk_dyn)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
@@ -934,13 +974,20 @@ def fused_reference_render(scene: Scene, camera, key, *, samples: int,
     def col_dyn(off, c):
         return jax.lax.dynamic_slice(tab, (off, c), (FUSED_CHUNK, 1))
 
+    def blk():
+        return tab
+
+    def blk_dyn(off):
+        return jax.lax.dynamic_slice(tab, (off, 0), (FUSED_CHUNK, 32))
+
     def cam(i):
         return cv[i]
 
     body, _, init = _make_regen_body(col, cam, seed, pix, n_pix, T_pad,
                                      W, H, samples, max_depth,
                                      light_samples, emitter,
-                                     col_dyn=col_dyn)
+                                     col_dyn=col_dyn,
+                                     blk=blk, blk_dyn=blk_dyn)
 
     carry = init(jnp.ones((1, n_pix), bool))
     n_steps = samples * (max_depth + 1)

@@ -106,13 +106,18 @@ def _make_fwd_ls_kernel(T_pad: int, W: int, H: int, samples: int,
             return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
                                  FUSED_CHUNK), c:c + 1]
 
+        def blk_dyn(off):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), :]
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
         body, cond, init = _make_regen_body(
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
-            light_samples, emitter, samp_slots=samples, col_dyn=col_dyn)
+            light_samples, emitter, samp_slots=samples, col_dyn=col_dyn,
+            blk_dyn=blk_dyn)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
@@ -154,12 +159,16 @@ def _make_replay_kernel(T_pad: int, W: int, H: int, samples: int,
             return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
                                  FUSED_CHUNK), c:c + 1]
 
+        def blk_dyn(off):
+            return tri_ref[pl.ds(pl.multiple_of(off, FUSED_CHUNK),
+                                 FUSED_CHUNK), :]
+
         pix0 = pl.program_id(0) * rb + base_ref[0]
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
         _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
-                              col_dyn=col_dyn)
+                              col_dyn=col_dyn, blk_dyn=blk_dyn)
         primary = _make_primary(cam, seed, pix, W, H)
         nee = _make_nee(sweep, emitter, seed, pix, light_samples)
 
