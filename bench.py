@@ -523,6 +523,30 @@ def cfg_cornell_subdiv2k_path():
             "primary_rays_per_s": round(512 * 512 * 16 / dt, 1)}
 
 
+def cfg_cornell_subdiv35k_path():
+    """Path tracing past the brute gate: cornell subdivided 5 levels
+    (34,818 tris > FUSED_MAX_TRIS), 256x256 16 spp through the BVH path
+    megakernel (ops/pallas_bvh_path.py) — the backend the CLI routes
+    such scenes to. Enclosed-scene bounce rays are the walk's worst case
+    (block-uniform divergence); this entry records it honestly."""
+    import jax
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_bvh_path import make_bvh_path_renderer
+    from orion_tpu.scene import load_scene, subdivide_scene
+
+    scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
+    scene = subdivide_scene(scene, levels=5)
+    r.xres = r.yres = 256
+    cam = camera_from_rtc(r)
+    fn = make_bvh_path_renderer(scene, cam, samples=16, max_depth=8,
+                                light_samples=2, ray_block=512)
+    dt = _time_calls(lambda: fn(jax.random.key(0)), 3)
+    return {"backend": "bvh-path-pallas", "seconds": round(dt, 4),
+            "triangles": int(scene.num_triangles),
+            "primary_rays_per_s": round(256 * 256 * 16 / dt, 1)}
+
+
 CONFIGS = {
     # name: (runner, subprocess timeout seconds)
     "cornell_path_512_16spp": (cfg_cornell_path_512_16spp, 900),
@@ -533,6 +557,7 @@ CONFIGS = {
     "nanosuit_untextured_1024_64spp":
         (cfg_nanosuit_untextured_1024_64spp, 900),
     "cornell_subdiv2k_path_512_16spp": (cfg_cornell_subdiv2k_path, 900),
+    "cornell_subdiv35k_path_256_16spp": (cfg_cornell_subdiv35k_path, 1200),
     "cornell_prb_train_fhd_4spp": (cfg_cornell_prb_train_fhd_4spp, 900),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),

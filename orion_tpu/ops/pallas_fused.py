@@ -62,7 +62,13 @@ from orion_tpu.ops.intersect import MT_EPS
 from orion_tpu.scene import Scene
 
 FUSED_CHUNK = 512             # rows per statically-shaped sweep slice
-FUSED_MAX_TRIS = 8192         # gate: total rows (chunked fori_loop sweep)
+# gate: total rows (chunked fori_loop sweep). Measured routing (2026-08,
+# subdiv-cornell, one chip): the chunk-culled brute sweep beats BOTH the
+# BVH megakernel and the wavefront up to at least ~9k tris (0.53 vs 0.31
+# vs 0.23 M rays/s at 8.7k); past the gate the CLI falls to the BVH path
+# megakernel (ops/pallas_bvh_path.py). Table residency is 128 B/row —
+# 2 MB at this cap.
+FUSED_MAX_TRIS = 16384
 FUSED_MAX_EMITTER_TRIS = 8    # per-mesh unrolled select chain
 FUSED_MAX_EMITTERS = 8        # emissive meshes (NEE loops per mesh)
 RAY_BLOCK = 512

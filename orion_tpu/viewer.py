@@ -134,6 +134,18 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
                 fused = make_fused_path_renderer(
                     ps.scene, camera, samples=spp, max_depth=depth,
                     light_samples=1, ray_block=256)
+            else:
+                from orion_tpu.ops.pallas_bvh_path import (
+                    bvh_path_supported, make_bvh_path_renderer)
+
+                if bvh_path_supported(ps.scene):
+                    try:
+                        fused = make_bvh_path_renderer(
+                            ps.scene, camera, samples=spp,
+                            max_depth=depth, light_samples=1,
+                            order_signs=ps.order_signs)
+                    except ValueError:  # over the residency cap
+                        fused = None
         else:
             from orion_tpu.ops.pallas_whitted import (
                 fused_whitted_supported, make_fused_whitted_renderer)
