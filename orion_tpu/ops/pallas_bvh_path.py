@@ -295,6 +295,53 @@ def _make_kernel(M, W, H, samples, max_depth, light_samples, emitter,
     return kernel
 
 
+def build_bvh_path_call(M, W, H, samples, max_depth, light_samples,
+                        emitter, n_pix, n_pad, ray_block, interpret):
+    """The raw megakernel call: (cam_vec [12], seed [1], pix_base [1],
+    *node_scalars [8 arrays], tab [32, B_pad]) -> [8, n_pad] radiance
+    planes for the n_pad lanes starting at global pixel pix_base.
+    make_bvh_path_renderer wraps it whole-image (pix_base 0);
+    parallel/fused_shard sizes n_pad to a chip's tile and passes each
+    shard's offset (ray DP, same shape as the brute megakernel's)."""
+    kernel = _make_kernel(M, W, H, samples, max_depth, light_samples,
+                          emitter, n_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
+                         order_signs=(1.0, 1.0, 1.0),
+                         check_cap: bool = True):
+    """(node_scalars tuple, tab, num_nodes): the replicated device inputs
+    every chip's kernel shares."""
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=strategy,
+                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       order_signs=order_signs)
+    if check_cap and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+        raise ValueError(
+            f"{bvh.num_bundled} bundled rows exceed the path attr-table "
+            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+    tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
+    node_scalars = tuple(
+        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    return node_scalars, tab, bvh.num_nodes
+
+
 def make_bvh_path_renderer(scene: Scene, camera, *, samples: int,
                            max_depth: int, light_samples: int = 2,
                            strategy: str = SAH,
@@ -310,44 +357,20 @@ def make_bvh_path_renderer(scene: Scene, camera, *, samples: int,
                          "(textures / emitters)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
-                       np.asarray(scene.tri_e2),
-                       np.asarray(scene.tri_valid), strategy=strategy,
-                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
-                       order_signs=order_signs)
-    if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
-        raise ValueError(
-            f"{bvh.num_bundled} bundled rows exceed the path attr-table "
-            f"residency cap ({RESIDENT_MAX_BUNDLED})")
 
     H, W = camera.yres, camera.xres
     n_pix = H * W
     n_pad = ((max(n_pix, ray_block) + ray_block - 1)
              // ray_block) * ray_block
 
-    tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
-    node_scalars = tuple(
-        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    node_scalars, tab, num_nodes = bvh_path_device_data(
+        scene, strategy=strategy, order_signs=order_signs,
+        check_cap=not interpret)
     emitter = _emitters_consts(scene)
-    kernel = _make_kernel(bvh.num_nodes, W, H, samples, max_depth,
-                          light_samples, emitter, n_pix)
     cam_v = camera_vec(camera)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(n_pad // ray_block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        interpret=interpret,
-    )
+    call = build_bvh_path_call(num_nodes, W, H, samples, max_depth,
+                               light_samples, emitter, n_pix, n_pad,
+                               ray_block, interpret)
     zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit

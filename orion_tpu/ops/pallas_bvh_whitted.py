@@ -500,6 +500,51 @@ def _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
     return kernel
 
 
+def build_bvh_whitted_call(M, W, H, samples, max_depth, lights, n_pix,
+                           with_emissive, n_pad, ray_block, interpret):
+    """The raw megakernel call: (cam_vec [12], seed [1], pix_base [1],
+    *node_scalars [8 arrays], tab [40, B_pad]) -> [8, n_pad] radiance
+    planes for the lanes starting at global pixel pix_base (ray-DP
+    sharding passes per-chip offsets, parallel/fused_shard)."""
+    kernel = _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
+                          with_emissive)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=11,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def bvh_whitted_device_data(scene: Scene, *, strategy: str = SAH,
+                            order_signs=(1.0, 1.0, 1.0),
+                            check_cap: bool = True, textured: bool = False):
+    """(node_scalars tuple, tab, num_nodes): the replicated device inputs
+    every chip's kernel shares."""
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=strategy,
+                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       order_signs=order_signs)
+    if check_cap and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+        raise ValueError(
+            f"{bvh.num_bundled} bundled rows exceed the attr-table "
+            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+    tab = jnp.asarray(pack_bvh_attr_table(bvh, scene, textured=textured))
+    node_scalars = tuple(
+        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    return node_scalars, tab, bvh.num_nodes
+
+
 def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
                               max_depth: int, strategy: str = SAH,
                               ray_block: int = RAY_BLOCK,
@@ -515,45 +560,21 @@ def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
                          "(textures / lights)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
-                       np.asarray(scene.tri_e2),
-                       np.asarray(scene.tri_valid), strategy=strategy,
-                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
-                       order_signs=order_signs)
-    if not interpret and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
-        raise ValueError(
-            f"{bvh.num_bundled} bundled rows exceed the attr-table "
-            f"residency cap ({RESIDENT_MAX_BUNDLED})")
 
     H, W = camera.yres, camera.xres
     n_pix = H * W
     n_pad = ((max(n_pix, ray_block) + ray_block - 1)
              // ray_block) * ray_block
 
-    tab = jnp.asarray(pack_bvh_attr_table(bvh, scene))
-    node_scalars = tuple(
-        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    node_scalars, tab, num_nodes = bvh_whitted_device_data(
+        scene, strategy=strategy, order_signs=order_signs,
+        check_cap=not interpret)
     lights = _lights_consts(scene)
     with_em = scene.num_emissive > 0
-    kernel = _make_kernel(bvh.num_nodes, W, H, samples, max_depth,
-                          lights, n_pix, with_em)
     cam_v = camera_vec(camera)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(n_pad // ray_block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
-        interpret=interpret,
-    )
+    call = build_bvh_whitted_call(num_nodes, W, H, samples, max_depth,
+                                  lights, n_pix, with_em, n_pad,
+                                  ray_block, interpret)
     zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit

@@ -106,6 +106,85 @@ def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
     return render_sharded
 
 
+def make_bvh_render_sharded(scene: Scene, camera, *, samples: int,
+                            max_depth: int, light_samples: int = 2,
+                            mode: str | None = None,
+                            strategy=None, ray_block: int | None = None,
+                            order_signs=(1.0, 1.0, 1.0),
+                            devices=None,
+                            interpret: bool | None = None):
+    """`fn(key) -> [H, W, 3]` rendering with one BVH megakernel per chip
+    (large-scene ray DP: pixels tile across chips, the flattened tree +
+    attribute table replicate). Same bit-identity argument as the brute
+    sharded renderer — the kernels hash GLOBAL pixel ids, so the image is
+    the single-chip megakernel's exactly, for any chip count.
+
+    mode: "path" (ops/pallas_bvh_path.py) or "whitted"
+    (ops/pallas_bvh_whitted.py); default picks Whitted iff the scene has
+    point lights, matching the engine/render convention."""
+    from orion_tpu.accel.bvh import SAH
+    from orion_tpu.ops import pallas_bvh_path as pbp
+    from orion_tpu.ops import pallas_bvh_whitted as pbw
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if mode is None:
+        mode = "whitted" if scene.num_lights > 0 else "path"
+    if strategy is None:
+        strategy = SAH
+    mesh = _mesh(devices)
+    n_chips = mesh.devices.size
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+
+    if mode == "path":
+        if not pbp.bvh_path_supported(scene):
+            raise ValueError("scene outside the bvh-path gate")
+        rb = pbp.RAY_BLOCK if ray_block is None else ray_block
+        local = _tile(n_pix, n_chips, rb)
+        node_scalars, tab, num_nodes = pbp.bvh_path_device_data(
+            scene, strategy=strategy, order_signs=order_signs,
+            check_cap=not interpret)
+        call = pbp.build_bvh_path_call(
+            num_nodes, W, H, samples, max_depth, light_samples,
+            _emitters_consts(scene), n_pix, local, rb, interpret)
+    elif mode == "whitted":
+        from orion_tpu.ops.pallas_whitted import _lights_consts
+
+        if not pbw.bvh_whitted_supported(scene):
+            raise ValueError("scene outside the bvh-whitted gate")
+        rb = pbw.RAY_BLOCK if ray_block is None else ray_block
+        local = _tile(n_pix, n_chips, rb)
+        node_scalars, tab, num_nodes = pbw.bvh_whitted_device_data(
+            scene, strategy=strategy, order_signs=order_signs,
+            check_cap=not interpret)
+        call = pbw.build_bvh_whitted_call(
+            num_nodes, W, H, samples, max_depth, _lights_consts(scene),
+            n_pix, scene.num_emissive > 0, local, rb, interpret)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    cam_v = camera_vec(camera)
+
+    def shard_fn(seed):
+        base = (jax.lax.axis_index(AXIS) * local).astype(jnp.int32)
+        return call(cam_v, seed, base[None], *node_scalars,
+                    tab)                                 # [8, local]
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(),
+                        out_specs=P(None, AXIS), check_vma=False)
+
+    @jax.jit
+    def _impl(seed):
+        out = sharded(seed)                             # [8, n_chips*local]
+        return out[0:3, :n_pix].T.reshape(H, W, 3)
+
+    def render_sharded(key) -> jax.Array:
+        return _impl(seed_scalar(key))
+
+    return render_sharded
+
+
 def make_fused_train_step_sharded(scene: Scene, camera, target, *,
                                   samples: int, max_depth: int,
                                   light_samples: int = 2,

@@ -70,3 +70,48 @@ def test_sharded_train_step_matches_single(setup):
                                    np.asarray(g_s[name]),
                                    rtol=1e-5, atol=1e-9)
     assert float(np.abs(np.asarray(g_s["mat_diffuse"])).max()) > 0
+
+
+def test_sharded_bvh_path_bit_identical(cornell_scene):
+    """Large-scene ray DP: the BVH path megakernel sharded over the mesh
+    must reproduce the single-chip megakernel image exactly."""
+    from orion_tpu.ops.pallas_bvh_path import make_bvh_path_renderer
+    from orion_tpu.parallel.fused_shard import make_bvh_render_sharded
+    from orion_tpu.scene import subdivide_scene
+
+    scene, rtc = cornell_scene
+    scene = subdivide_scene(scene, levels=1)   # 144 tris, a real tree
+    rtc.xres, rtc.yres = 40, 24
+    cam = camera_from_rtc(rtc)
+    key = jax.random.key(4)
+    single = make_bvh_path_renderer(scene, cam, samples=2, max_depth=2,
+                                    light_samples=2, ray_block=128)
+    sharded = make_bvh_render_sharded(scene, cam, samples=2, max_depth=2,
+                                      light_samples=2, mode="path",
+                                      ray_block=128)
+    a = np.asarray(single(key))
+    b = np.asarray(sharded(key))
+    np.testing.assert_array_equal(a, b)
+    assert a.max() > 0
+
+
+def test_sharded_bvh_whitted_bit_identical():
+    from orion_tpu.camera import Camera
+    from orion_tpu.ops.pallas_bvh_whitted import make_bvh_whitted_renderer
+    from orion_tpu.parallel.fused_shard import make_bvh_render_sharded
+    from orion_tpu.scene import make_synthetic_scene
+
+    scene = make_synthetic_scene(600, seed=3)
+    cam = Camera(origin=jnp.asarray([0.0, 0.0, 35.0]),
+                 front=jnp.asarray([0.0, 0.0, -1.0]),
+                 right=jnp.asarray([1.0, 0.0, 0.0]),
+                 up=jnp.asarray([0.0, 1.0, 0.0]), xres=40, yres=24)
+    key = jax.random.key(4)
+    single = make_bvh_whitted_renderer(scene, cam, samples=2, max_depth=1,
+                                       ray_block=128)
+    sharded = make_bvh_render_sharded(scene, cam, samples=2, max_depth=1,
+                                      mode="whitted", ray_block=128)
+    a = np.asarray(single(key))
+    b = np.asarray(sharded(key))
+    np.testing.assert_array_equal(a, b)
+    assert a.max() > 0
