@@ -132,20 +132,158 @@ def _make_fwd_ls_kernel(T_pad: int, W: int, H: int, samples: int,
     return kernel
 
 
+def replay_impl(sweep, cam, seed, pix, in_image, w_ref, ls_ref, out_ref,
+                emitter, samples, max_depth, light_samples, W, H):
+    """The replay pass over a prebuilt geometry sweep (shared between the
+    brute-sweep kernel below and the BVH replay kernel in
+    ops/pallas_bvh_prb.py — same closed-form adjoints, same U
+    bookkeeping, different intersection)."""
+    em_mesh = emitter[0]
+    # static one-hot scatter targets for the NEE mat_emissive adjoint
+    # (built from iotas: pallas kernels cannot capture array consts)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 1)
+    em_masks = [((row_i == 3 + ch)
+                 & (col_i == em_mesh)).astype(jnp.float32)
+                for ch in range(3)]
+    rb = w_ref.shape[1]
+
+    primary = _make_primary(cam, seed, pix, W, H)
+    nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+
+    w3 = (w_ref[0:1, :], w_ref[1:2, :], w_ref[2:3, :])
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (M_LANES, rb), 0)
+    S = jnp.int32(samples)
+
+    def l_of(samp, c):
+        """L_{samp, c} via one-hot select over the sample planes
+        (zero when samp == S: no plane matches)."""
+        out = jnp.zeros((1, rb), jnp.float32)
+        for s in range(samples):
+            out += jnp.where(samp == s, ls_ref[3 * s + c:3 * s + c + 1,
+                                               :], 0.0)
+        return out
+
+    def bounce_common(o, d, T, depth, samp):
+        """Replayed bounce math (bit-identical to the forward body's
+        value computations — U bookkeeping depends on it)."""
+        t, hit, u, v, got = sweep(o, d, _BOUNCE_ATTRS)
+        hitf = hit.astype(jnp.float32)
+        hx = o[0] + t * d[0]
+        hy = o[1] + t * d[1]
+        hz = o[2] + t * d[2]
+        sn = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
+        gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+        kd = (got[_C_KD], got[_C_KD + 1], got[_C_KD + 2])
+
+        ndx, ndy, ndz = _norm3(*d)
+        cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
+        em_scale = jnp.where((depth == 0) & hit,
+                             got[_C_AREA] * cosv, 0.0)
+        A, sum_scale = nee(samp, depth, (hx, hy, hz), gn, sn, hit)
+        r = tuple(got[_C_KE + c] * em_scale + kd[c] * A[c]
+                  for c in range(3))
+        contrib = tuple(T[c] * r[c] * hitf for c in range(3))
+
+        u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
+        p_cont = got[_C_PC]
+        cont = hit & (depth < max_depth) & (u_rr <= p_cont) \
+            & (samp < S)
+        safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)
+        inv_p = jnp.where(p_cont > 0.0, 1.0 / safe_p, 0.0)
+        bd = _cosine_bounce(sn, u1, u2)
+        no = (hx + sn[0] * BIAS, hy + sn[1] * BIAS, hz + sn[2] * BIAS)
+        return dict(kd=kd, p=p_cont, inv_p=inv_p, A=A,
+                    em_scale=em_scale, sum_scale=sum_scale,
+                    mat=got[_C_MESH], cont=cont, bd=bd, no=no,
+                    contrib=contrib)
+
+    def body(c):
+        o, d, T, U, depth, samp, acc, ek = c
+        st = bounce_common(o, d, T, depth, samp)
+        # U_{d+1}: remaining radiance AFTER this bounce (exact: the
+        # forward accumulated the same floats in the same order)
+        U = tuple(U[i] - st["contrib"][i] for i in range(3))
+
+        kd, p, inv_p = st["kd"], st["p"], st["inv_p"]
+        # even split over argmax ties (jnp.max VJP convention)
+        ties = [(kd[c] == p).astype(jnp.float32) for c in range(3)]
+        tie_n = ties[0] + ties[1] + ties[2]
+        wU = (w3[0] * U[0] + w3[1] * U[1] + w3[2] * U[2])
+        amax_term = -inv_p * wU / jnp.maximum(tie_n, 1.0)
+
+        g_rows = []
+        for c in range(3):
+            g_kd = (w3[c] * T[c] * st["A"][c]
+                    + jnp.where(kd[c] > 0.0,
+                                w3[c] * U[c]
+                                / jnp.maximum(kd[c], 1e-30), 0.0)
+                    + ties[c] * amax_term)
+            g_rows.append(g_kd)
+        for c in range(3):
+            g_rows.append(w3[c] * T[c] * st["em_scale"])
+        g_rows.append(jnp.zeros((1, rb), jnp.float32))
+        g_rows.append(jnp.zeros((1, rb), jnp.float32))
+        G = jnp.concatenate(g_rows, axis=0)              # [8, RB]
+
+        onehot = (lane_iota
+                  == st["mat"].astype(jnp.int32)).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            G, onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)          # [8, M]
+
+        # NEE mat_emissive adjoint (static emitter material)
+        ek = tuple(ek[c] + w3[c] * T[c] * kd[c] * st["sum_scale"]
+                   for c in range(3))
+
+        # advance WITH regeneration (mirrors the forward body)
+        cont = st["cont"]
+        n_samp = jnp.where(cont, samp, samp + 1)
+        lane_on = n_samp < S
+        p_o = primary(n_samp)
+        onf = lane_on.astype(jnp.float32)
+        o = tuple(jnp.where(cont, st["no"][i], p_o[i])
+                  for i in range(3))
+        d = tuple(jnp.where(cont, st["bd"][i], p_o[3 + i])
+                  for i in range(3))
+        T = tuple(jnp.where(cont, T[i] * kd[i] * inv_p, onf)
+                  for i in range(3))
+        U = tuple(jnp.where(cont, U[i], l_of(n_samp, i))
+                  for i in range(3))
+        depth = jnp.where(cont, depth + 1, 0)
+        return (o, d, T, U, depth, n_samp, acc, ek)
+
+    def cond(c):
+        return jnp.any(c[5] < S)
+
+    samp0 = jnp.where(in_image, 0, S)
+    p0 = primary(samp0)
+    onf0 = (samp0 < S).astype(jnp.float32)
+    zeros = jnp.zeros((1, rb), jnp.float32)
+    c0 = ((p0[0], p0[1], p0[2]), (p0[3], p0[4], p0[5]),
+          (onf0, onf0, onf0),
+          tuple(l_of(samp0, c) for c in range(3)),
+          jnp.zeros((1, rb), jnp.int32), samp0,
+          jnp.zeros((8, M_LANES), jnp.float32),
+          (zeros, zeros, zeros))
+    out = jax.lax.while_loop(cond, body, c0)
+    acc, ek = out[6], out[7]
+    for c in range(3):
+        acc = acc + jnp.sum(ek[c]) * em_masks[c]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
 def _make_replay_kernel(T_pad: int, W: int, H: int, samples: int,
                         max_depth: int, light_samples: int, emitter,
                         n_pix: int):
-    em_mesh = emitter[0]
-
     def kernel(cam_ref, seed_ref, base_ref, tri_ref, w_ref, ls_ref,
                out_ref):
-        # static one-hot scatter targets for the NEE mat_emissive adjoint
-        # (built from iotas: pallas kernels cannot capture array consts)
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (8, M_LANES), 1)
-        em_masks = [((row_i == 3 + ch)
-                     & (col_i == em_mesh)).astype(jnp.float32)
-                    for ch in range(3)]
         rb = w_ref.shape[1]
         seed = seed_ref[0]
 
@@ -169,135 +307,9 @@ def _make_replay_kernel(T_pad: int, W: int, H: int, samples: int,
 
         _, sweep = _make_geom(col, T_pad, chunk=FUSED_CHUNK,
                               col_dyn=col_dyn, blk_dyn=blk_dyn)
-        primary = _make_primary(cam, seed, pix, W, H)
-        nee = _make_nee(sweep, emitter, seed, pix, light_samples)
-
-        w3 = (w_ref[0:1, :], w_ref[1:2, :], w_ref[2:3, :])
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (M_LANES, rb), 0)
-        S = jnp.int32(samples)
-
-        def l_of(samp, c):
-            """L_{samp, c} via one-hot select over the sample planes
-            (zero when samp == S: no plane matches)."""
-            out = jnp.zeros((1, rb), jnp.float32)
-            for s in range(samples):
-                out += jnp.where(samp == s, ls_ref[3 * s + c:3 * s + c + 1,
-                                                   :], 0.0)
-            return out
-
-        def bounce_common(o, d, T, depth, samp):
-            """Replayed bounce math (bit-identical to the forward body's
-            value computations — U bookkeeping depends on it)."""
-            t, hit, u, v, got = sweep(o, d, _BOUNCE_ATTRS)
-            hitf = hit.astype(jnp.float32)
-            hx = o[0] + t * d[0]
-            hy = o[1] + t * d[1]
-            hz = o[2] + t * d[2]
-            sn = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
-            gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
-            kd = (got[_C_KD], got[_C_KD + 1], got[_C_KD + 2])
-
-            ndx, ndy, ndz = _norm3(*d)
-            cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
-            em_scale = jnp.where((depth == 0) & hit,
-                                 got[_C_AREA] * cosv, 0.0)
-            A, sum_scale = nee(samp, depth, (hx, hy, hz), gn, sn, hit)
-            r = tuple(got[_C_KE + c] * em_scale + kd[c] * A[c]
-                      for c in range(3))
-            contrib = tuple(T[c] * r[c] * hitf for c in range(3))
-
-            u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
-            p_cont = got[_C_PC]
-            cont = hit & (depth < max_depth) & (u_rr <= p_cont) \
-                & (samp < S)
-            safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)
-            inv_p = jnp.where(p_cont > 0.0, 1.0 / safe_p, 0.0)
-            bd = _cosine_bounce(sn, u1, u2)
-            no = (hx + sn[0] * BIAS, hy + sn[1] * BIAS, hz + sn[2] * BIAS)
-            return dict(kd=kd, p=p_cont, inv_p=inv_p, A=A,
-                        em_scale=em_scale, sum_scale=sum_scale,
-                        mat=got[_C_MESH], cont=cont, bd=bd, no=no,
-                        contrib=contrib)
-
-        def body(c):
-            o, d, T, U, depth, samp, acc, ek = c
-            st = bounce_common(o, d, T, depth, samp)
-            # U_{d+1}: remaining radiance AFTER this bounce (exact: the
-            # forward accumulated the same floats in the same order)
-            U = tuple(U[i] - st["contrib"][i] for i in range(3))
-
-            kd, p, inv_p = st["kd"], st["p"], st["inv_p"]
-            # even split over argmax ties (jnp.max VJP convention)
-            ties = [(kd[c] == p).astype(jnp.float32) for c in range(3)]
-            tie_n = ties[0] + ties[1] + ties[2]
-            wU = (w3[0] * U[0] + w3[1] * U[1] + w3[2] * U[2])
-            amax_term = -inv_p * wU / jnp.maximum(tie_n, 1.0)
-
-            g_rows = []
-            for c in range(3):
-                g_kd = (w3[c] * T[c] * st["A"][c]
-                        + jnp.where(kd[c] > 0.0,
-                                    w3[c] * U[c]
-                                    / jnp.maximum(kd[c], 1e-30), 0.0)
-                        + ties[c] * amax_term)
-                g_rows.append(g_kd)
-            for c in range(3):
-                g_rows.append(w3[c] * T[c] * st["em_scale"])
-            g_rows.append(jnp.zeros((1, rb), jnp.float32))
-            g_rows.append(jnp.zeros((1, rb), jnp.float32))
-            G = jnp.concatenate(g_rows, axis=0)              # [8, RB]
-
-            onehot = (lane_iota
-                      == st["mat"].astype(jnp.int32)).astype(jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                G, onehot, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)          # [8, M]
-
-            # NEE mat_emissive adjoint (static emitter material)
-            ek = tuple(ek[c] + w3[c] * T[c] * kd[c] * st["sum_scale"]
-                       for c in range(3))
-
-            # advance WITH regeneration (mirrors the forward body)
-            cont = st["cont"]
-            n_samp = jnp.where(cont, samp, samp + 1)
-            lane_on = n_samp < S
-            p_o = primary(n_samp)
-            onf = lane_on.astype(jnp.float32)
-            o = tuple(jnp.where(cont, st["no"][i], p_o[i])
-                      for i in range(3))
-            d = tuple(jnp.where(cont, st["bd"][i], p_o[3 + i])
-                      for i in range(3))
-            T = tuple(jnp.where(cont, T[i] * kd[i] * inv_p, onf)
-                      for i in range(3))
-            U = tuple(jnp.where(cont, U[i], l_of(n_samp, i))
-                      for i in range(3))
-            depth = jnp.where(cont, depth + 1, 0)
-            return (o, d, T, U, depth, n_samp, acc, ek)
-
-        def cond(c):
-            return jnp.any(c[5] < S)
-
-        samp0 = jnp.where(in_image, 0, S)
-        p0 = primary(samp0)
-        onf0 = (samp0 < S).astype(jnp.float32)
-        zeros = jnp.zeros((1, rb), jnp.float32)
-        c0 = ((p0[0], p0[1], p0[2]), (p0[3], p0[4], p0[5]),
-              (onf0, onf0, onf0),
-              tuple(l_of(samp0, c) for c in range(3)),
-              jnp.zeros((1, rb), jnp.int32), samp0,
-              jnp.zeros((8, M_LANES), jnp.float32),
-              (zeros, zeros, zeros))
-        out = jax.lax.while_loop(cond, body, c0)
-        acc, ek = out[6], out[7]
-        for c in range(3):
-            acc = acc + jnp.sum(ek[c]) * em_masks[c]
-
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
-            out_ref[...] = jnp.zeros_like(out_ref)
-
-        out_ref[...] += acc
+        replay_impl(sweep, cam, seed, pix, in_image, w_ref, ls_ref,
+                    out_ref, emitter, samples, max_depth, light_samples,
+                    W, H)
 
     return kernel
 

@@ -107,12 +107,26 @@ def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
     from orion_tpu.ops.pallas_prb import (fused_train_supported,
                                           make_fused_train_step)
 
-    if not fused_train_supported(ps.scene, samples):
-        return None
-    return make_fused_train_step(ps.scene, ps.camera, target,
-                                 samples=samples, max_depth=max_depth,
-                                 light_samples=light_samples,
-                                 dynamic_params=True)
+    if fused_train_supported(ps.scene, samples):
+        return make_fused_train_step(ps.scene, ps.camera, target,
+                                     samples=samples, max_depth=max_depth,
+                                     light_samples=light_samples,
+                                     dynamic_params=True)
+    # past the brute gate: the BVH-PRB step (tree built once, material
+    # rows substituted in-graph each call)
+    from orion_tpu.ops.pallas_bvh_prb import (bvh_train_supported,
+                                              make_bvh_train_step)
+
+    if bvh_train_supported(ps.scene, samples):
+        try:
+            return make_bvh_train_step(
+                ps.scene, ps.camera, target, samples=samples,
+                max_depth=max_depth, light_samples=light_samples,
+                order_signs=getattr(ps, "order_signs", (1.0, 1.0, 1.0)),
+                dynamic_params=True)
+        except ValueError:
+            return None  # over the residency cap
+    return None
 
 
 def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
