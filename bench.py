@@ -547,6 +547,38 @@ def cfg_cornell_subdiv35k_path():
             "primary_rays_per_s": round(256 * 256 * 16 / dt, 1)}
 
 
+def cfg_prb_train_subdiv35k():
+    """Differentiable rendering past the brute gate: BVH-PRB train step
+    (forward + replay megakernels over the resident tree) on the 34.8k-
+    triangle subdivided cornell, 256x256 4 spp depth 4. The fwd+bwd
+    north-star metric at a scene size the brute PRB cannot touch."""
+    import jax
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_bvh_prb import make_bvh_train_step
+    from orion_tpu.scene import load_scene, subdivide_scene
+
+    scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
+    scene = subdivide_scene(scene, levels=5)
+    r.xres = r.yres = 256
+    cam = camera_from_rtc(r)
+    import jax.numpy as jnp
+
+    target = jnp.zeros((256, 256, 3), jnp.float32)
+    step = make_bvh_train_step(scene, cam, target, samples=4, max_depth=4,
+                               light_samples=2, ray_block=512)
+
+    def go():
+        loss, g = step(jax.random.key(0))
+        return g["mat_diffuse"]
+
+    dt = _time_calls(go, 3)
+    return {"backend": "bvh-prb-pallas", "seconds": round(dt, 4),
+            "triangles": int(scene.num_triangles),
+            "params": ["mat_diffuse", "mat_emissive"],
+            "fwd_bwd_primary_rays_per_s": round(256 * 256 * 4 / dt, 1)}
+
+
 CONFIGS = {
     # name: (runner, subprocess timeout seconds)
     "cornell_path_512_16spp": (cfg_cornell_path_512_16spp, 900),
@@ -558,6 +590,7 @@ CONFIGS = {
         (cfg_nanosuit_untextured_1024_64spp, 900),
     "cornell_subdiv2k_path_512_16spp": (cfg_cornell_subdiv2k_path, 900),
     "cornell_subdiv35k_path_256_16spp": (cfg_cornell_subdiv35k_path, 1200),
+    "prb_train_subdiv35k_256_4spp": (cfg_prb_train_subdiv35k, 1200),
     "cornell_prb_train_fhd_4spp": (cfg_cornell_prb_train_fhd_4spp, 900),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
