@@ -169,6 +169,21 @@ def _render_preview(ps, cam: FlyCamera, samples: int, out_path: str,
                             order_signs=ps.order_signs)
                     except ValueError:  # over the residency cap
                         fused = None
+                if fused is None:
+                    # textured depth-0 scenes (nanosuit/hindu): the
+                    # deferred-texturing megakernel flies at ms/frame
+                    from orion_tpu.ops.pallas_bvh_whitted import (
+                        bvh_whitted_deferred_supported,
+                        make_bvh_whitted_deferred)
+
+                    if bvh_whitted_deferred_supported(ps.scene, depth):
+                        try:
+                            fused = make_bvh_whitted_deferred(
+                                ps.scene, camera, samples=spp,
+                                max_depth=depth,
+                                order_signs=ps.order_signs)
+                        except ValueError:
+                            fused = None
         if fused is not None:
             ps._viewer_fused = (fused, spp)
     if fused is not None:
