@@ -53,11 +53,11 @@ def main():
         if not cull:
             # boxes the slab test always passes -> cond always sweeps;
             # to remove the cond entirely see the no_cond variant below
-            pf.fused_chunk_bounds = lambda tab: (
-                np.full((max(tab.shape[0] // chunk, 1), 3), -3e37,
-                        np.float32),
-                np.full((max(tab.shape[0] // chunk, 1), 3), 3e37,
-                        np.float32))
+            def _open_bounds(sc):
+                n = max(pf._fused_t_pad(int(sc.num_triangles)) // chunk, 1)
+                return (np.full((n, 3), -3e37, np.float32),
+                        np.full((n, 3), 3e37, np.float32))
+            pf.fused_chunk_bounds = _open_bounds
         try:
             fn = pf.make_fused_path_renderer(
                 scene, cam, samples=SPP, max_depth=DEPTH, light_samples=LS)

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from orion_tpu.accel.bvh import BVH
-from orion_tpu.ops.intersect import MT_EPS, Hit
+from orion_tpu.ops.intersect import Hit
+from orion_tpu.ops.woop import _BIG, woop_rows, woop_tuv
 
 
 class TraversalStats(NamedTuple):
@@ -55,24 +56,17 @@ def _slab(orig, inv_dir, lo, hi):
     return (tmax >= tmin) & (tmax > 0.0), tmin
 
 
-def _mt_bundle(orig, dirs, v0, e1, e2):
-    """MT for each ray against its own [W] triangle bundle.
+def _woop_bundle(orig, dirs, w13):
+    """Woop test for each ray against its own [W] triangle bundle.
 
-    orig/dirs: [N,3]; v0/e1/e2: [N,W,3]. Returns t [N,W] (+inf on miss).
+    orig/dirs: [N,3]; w13: [N,W,13] gathered transform rows. Returns
+    t [N,W] (+inf on miss).
     """
-    o = orig[:, None, :]
-    d = dirs[:, None, :]
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = 1.0 / det
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-        & (u + v <= 1.0) & (t >= 0.0)
-    return jnp.where(ok, t, jnp.inf)
+    o = tuple(orig[:, None, i] for i in range(3))
+    d = tuple(dirs[:, None, i] for i in range(3))
+    w = tuple(w13[:, :, i] for i in range(13))
+    t, _, _ = woop_tuv(o, d, w)
+    return jnp.where(t < _BIG, t, jnp.inf)
 
 
 @partial(jax.jit, static_argnames=("with_stats",))
@@ -87,6 +81,8 @@ def traverse(bvh: BVH, orig: jax.Array, dirs: jax.Array,
     M = bvh.num_nodes
     W = bvh.leaf_width
     inv_dir = 1.0 / dirs
+    # bundled Woop rows (loop-invariant: XLA hoists this out of the walk)
+    w_rows = woop_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2)
 
     ptr0 = jnp.zeros((N,), jnp.int32)
     t0 = jnp.full((N,), jnp.inf, jnp.float32)
@@ -113,10 +109,7 @@ def traverse(bvh: BVH, orig: jax.Array, dirs: jax.Array,
         # dense leaf bundle test (garbage rows where not at a hit leaf)
         do_leaf = hit_box & is_leaf
         rows = jnp.where(do_leaf, start, 0)[:, None] + jnp.arange(W)[None, :]
-        v0 = bvh.tri_v0[rows]
-        e1 = bvh.tri_e1[rows]
-        e2 = bvh.tri_e2[rows]
-        t_tri = _mt_bundle(orig, dirs, v0, e1, e2)        # [N,W]
+        t_tri = _woop_bundle(orig, dirs, w_rows[rows])    # [N,W]
         t_leaf = jnp.min(t_tri, axis=1)
         arg = jnp.argmin(t_tri, axis=1)
         leaf_row = rows[jnp.arange(N), arg]

@@ -91,12 +91,19 @@ def mt_test(orig, dirs, v0, e1, e2, valid):
     return jnp.where(ok, t, F_INF)
 
 
-def _intersect_chunk(orig, dirs, v0, e1, e2, valid):
-    t_all = mt_test(orig, dirs, v0, e1, e2, valid)   # [C,T]
+def _intersect_chunk(orig, dirs, w13):
+    """Nearest hit of [C,3] rays against a [T,13] Woop-row table."""
+    from orion_tpu.ops.woop import _BIG, woop_tuv
+
+    o = tuple(orig[:, i, None] for i in range(3))
+    d = tuple(dirs[:, i, None] for i in range(3))
+    w = tuple(w13[None, :, i] for i in range(13))
+    t_all, _, _ = woop_tuv(o, d, w)                  # [C,T], _BIG = miss
     best = jnp.argmin(t_all, axis=1)
     t_best = jnp.take_along_axis(t_all, best[:, None], axis=1)[:, 0]
-    tri_id = jnp.where(jnp.isfinite(t_best), best.astype(jnp.int32), -1)
-    return t_best, tri_id
+    hit = t_best < _BIG
+    tri_id = jnp.where(hit, best.astype(jnp.int32), -1)
+    return jnp.where(hit, t_best, F_INF), tri_id
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -111,12 +118,20 @@ def intersect_brute(scene: Scene, orig: jax.Array, dirs: jax.Array,
     alive: optional [N] bool — part of the IntersectFn protocol (the Pallas
     kernels skip dead blocks); the dense jnp sweep computes everything
     regardless, so it is accepted and ignored.
+
+    The sweep tests via the shared Woop unit-triangle transform
+    (ops/woop.py — 3.5x the Möller-Trumbore plane on TPU, identical
+    predicate semantics); `mt_test` above is kept as the independent
+    formulation the unit tests cross-check against.
     """
     del alive
+    from orion_tpu.ops.woop import woop_rows
+
     N = orig.shape[0]
-    v0, e1, e2, valid = scene.tri_v0, scene.tri_e1, scene.tri_e2, scene.tri_valid
+    w13 = woop_rows(scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                    scene.tri_valid)
     if N <= chunk:
-        t, tri_id = _intersect_chunk(orig, dirs, v0, e1, e2, valid)
+        t, tri_id = _intersect_chunk(orig, dirs, w13)
         return Hit(t=t, tri_id=tri_id)
     # pad N to a multiple of chunk, scan over chunks
     n_chunks = -(-N // chunk)
@@ -128,7 +143,7 @@ def intersect_brute(scene: Scene, orig: jax.Array, dirs: jax.Array,
 
     def body(_, oc_dc):
         oc, dc = oc_dc
-        return None, _intersect_chunk(oc, dc, v0, e1, e2, valid)
+        return None, _intersect_chunk(oc, dc, w13)
 
     _, (t, tri_id) = jax.lax.scan(body, None, (orig_c, dirs_c))
     return Hit(t=t.reshape(-1)[:N], tri_id=tri_id.reshape(-1)[:N])

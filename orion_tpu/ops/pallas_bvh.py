@@ -3,8 +3,9 @@
 The TPU analogue of packet ray tracing: a block of RB rays walks the
 flattened BVH *together*. The node pointer is block-uniform scalar state;
 a node's subtree is entered iff ANY live lane hits its AABB (with per-ray
-t-entry pruning), and leaf bundles are tested as dense [128, RB]
-Möller-Trumbore planes via the shared mt_plane.
+t-entry pruning), and leaf bundles are tested as dense [128, RB] Woop
+unit-triangle planes via the shared ops/woop.py (3.5x the MT planes of
+rounds past, same predicate).
 
 vs the reference (SBVH::innerIntersect, /root/reference/orion/avx/sbvh.cpp:
 36-83): the reference recurses per ray and tests 8 triangles per AVX step;
@@ -47,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH
 from orion_tpu.ops.intersect import Hit
-from orion_tpu.ops.pallas_intersect import mt_plane, pack_ray_rows
+from orion_tpu.ops.pallas_intersect import pack_ray_rows
+from orion_tpu.ops.woop import woop_rows, woop_t
 
 RAY_BLOCK = 256
 LEAF_WIDTH = 128  # pinned: leaf lane offsets must be 128-aligned
@@ -104,10 +106,8 @@ def _make_kernel(M: int, W: int, any_hit: bool = False):
                 off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
                 blk = tri_ref[:, pl.ds(off, W)]             # [16,W]
                 blk_t = blk.T                               # [W,16]
-                v0 = (blk_t[:, 0:1], blk_t[:, 1:2], blk_t[:, 2:3])
-                e1 = (blk_t[:, 3:4], blk_t[:, 4:5], blk_t[:, 5:6])
-                e2 = (blk_t[:, 6:7], blk_t[:, 7:8], blk_t[:, 8:9])
-                t = mt_plane(o, d, v0, e1, e2)              # [W,RB]
+                w = tuple(blk_t[:, i:i + 1] for i in range(13))
+                t = woop_t(o, d, w)                         # [W,RB]
                 t_min = jnp.min(t, axis=0, keepdims=True)   # [1,RB]
                 row = jnp.min(jnp.where(t == t_min, row_idx,
                                         jnp.int32(2**30)),
@@ -158,15 +158,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_tri_comps16(tri_v0, tri_e1, tri_e2, lane_mult: int = 128):
-    """[B,3]x3 -> compact [16, B_pad] component rows (v0|e1|e2 in rows
-    0..8), padding columns degenerate; 64 B per bundled triangle."""
+    """[B,3]x3 -> compact [16, B_pad] component rows (the 13 Woop
+    transform floats in rows 0..12), padding columns always-miss;
+    64 B per bundled triangle. Bundled geometry is host NumPy (the BVH
+    build reordered it), so the transform precompute runs in float64."""
     B = tri_v0.shape[0]
     B_pad = _round_up(max(B, lane_mult), lane_mult)
-    data = jnp.zeros((16, B_pad), jnp.float32)
-    data = data.at[0:3, :B].set(tri_v0.T)
-    data = data.at[3:6, :B].set(tri_e1.T)
-    data = data.at[6:9, :B].set(tri_e2.T)
-    return data
+    data = np.zeros((16, B_pad), np.float32)
+    data[0:13, :B] = woop_rows(np.asarray(tri_v0), np.asarray(tri_e1),
+                               np.asarray(tri_e2), xp=np).T
+    data[11, B:] = 1.0   # padding: c_w = 1, d'_w = 0 => eps-miss
+    return jnp.asarray(data)
 
 
 @partial(jax.jit, static_argnames=("leaf_width", "num_nodes", "ray_block",

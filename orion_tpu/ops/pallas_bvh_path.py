@@ -38,13 +38,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH, SAH, build_bvh
-from orion_tpu.ops.pallas_bvh_whitted import LEAF_WIDTH, _mt_uv
-from orion_tpu.ops.pallas_fused import (_BIG, _C_AREA, _C_E1, _C_E2, _C_GN,
-                                        _C_KD, _C_KE, _C_MESH, _C_N0, _C_PC,
-                                        _C_V0, FUSED_MAX_EMITTER_TRIS,
+from orion_tpu.ops.pallas_bvh_whitted import LEAF_WIDTH, _woop_uv
+from orion_tpu.ops.pallas_fused import (_BIG, _C_AREA, _C_KD, _C_KE,
+                                        _C_MESH, _C_N0, _C_WOOP,
+                                        FUSED_MAX_EMITTER_TRIS,
                                         FUSED_MAX_EMITTERS, _emitters_consts,
                                         _make_regen_body, camera_vec,
                                         seed_scalar)
+from orion_tpu.ops.woop import woop_rows
 from orion_tpu.scene import Scene
 
 RAY_BLOCK = 256   # the BVH megakernels' measured best block width
@@ -64,11 +65,10 @@ def pack_bvh_path_table(bvh: BVH, scene: Scene) -> np.ndarray:
     B_pad = ((max(B, LEAF_WIDTH) + LEAF_WIDTH - 1)
              // LEAF_WIDTH) * LEAF_WIDTH
     tab = np.zeros((_ROWS, B_pad), np.float32)
-    e1 = np.asarray(bvh.tri_e1)
-    e2 = np.asarray(bvh.tri_e2)
-    tab[_C_V0:_C_V0 + 3, :B] = np.asarray(bvh.tri_v0).T
-    tab[_C_E1:_C_E1 + 3, :B] = e1.T
-    tab[_C_E2:_C_E2 + 3, :B] = e2.T
+    tab[_C_WOOP:_C_WOOP + 13, :B] = woop_rows(
+        np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1),
+        np.asarray(bvh.tri_e2), xp=np).T
+    tab[_C_WOOP + 11, B:] = 1.0   # tail past B: always-miss transform
 
     T = int(scene.num_triangles)
     raw = np.asarray(bvh.tri_orig)[:B]
@@ -84,12 +84,8 @@ def pack_bvh_path_table(bvh: BVH, scene: Scene) -> np.ndarray:
     ke = np.asarray(scene.mat_emissive)[mat] * m[:, None]
     tab[_C_KD:_C_KD + 3, :B] = kd.T
     tab[_C_KE:_C_KE + 3, :B] = ke.T
-    gn = np.cross(e1, e2)
-    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    tab[_C_GN:_C_GN + 3, :B] = gn.T
     tab[_C_AREA, :B] = np.asarray(scene.mesh_area)[mat] * m
     tab[_C_MESH, :B] = mat.astype(np.float32) * m
-    tab[_C_PC, :B] = kd.max(axis=1)
     return tab
 
 
@@ -146,12 +142,7 @@ def _make_path_sweep(node, tab_ref, M):
         off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
         blk = tab_ref[:, pl.ds(off, LEAF_WIDTH)]        # [32, W]
         blk_t = blk.T                                   # [W, 32]
-
-        def rows3(r):
-            return (blk_t[:, r:r + 1], blk_t[:, r + 1:r + 2],
-                    blk_t[:, r + 2:r + 3])
-
-        t, u, v = _mt_uv(o, d, rows3(_C_V0), rows3(_C_E1), rows3(_C_E2))
+        t, u, v = _woop_uv(o, d, blk_t)
         return blk_t, t, u, v
 
     def sweep(o, d, attr_cols, alive=None):

@@ -42,7 +42,7 @@ from orion_tpu.ops.pallas_bvh_path import (LEAF_WIDTH, RESIDENT_MAX_BUNDLED,
                                            bvh_path_supported,
                                            pack_bvh_path_table)
 from orion_tpu.ops.pallas_bvh_whitted import RAY_BLOCK
-from orion_tpu.ops.pallas_fused import (_C_KD, _C_KE, _C_PC,
+from orion_tpu.ops.pallas_fused import (_C_KD, _C_KE,
                                         _emitter_consts, _make_regen_body,
                                         camera_vec, seed_scalar)
 from orion_tpu.ops.pallas_prb import (M_LANES, MAX_SAMPLES, _ls_rows,
@@ -91,7 +91,6 @@ def make_bvh_tab_updater(scene: Scene, *, strategy: str = SAH,
         tab = base
         tab = tab.at[_C_KD:_C_KD + 3, :].set(kd.T)
         tab = tab.at[_C_KE:_C_KE + 3, :].set(ke.T)
-        tab = tab.at[_C_PC, :].set(jnp.max(kd, axis=1))
         return tab
 
     node_scalars = tuple(

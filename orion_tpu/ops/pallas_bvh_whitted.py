@@ -38,11 +38,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.accel.bvh import BVH, SAH, build_bvh
-from orion_tpu.ops.intersect import MT_EPS
 from orion_tpu.ops.pallas_fused import (_BIG, _make_primary, _norm3, BIAS,
                                         camera_vec, seed_scalar)
 from orion_tpu.ops.pallas_whitted import (MAX_LIGHTS, _lights_consts,
                                           _pow_like_c)
+from orion_tpu.ops.woop import woop_rows, woop_tuv
 from orion_tpu.scene import Scene
 
 RAY_BLOCK = 256   # pallas_bvh's measured best for packet walks
@@ -50,12 +50,14 @@ LEAF_WIDTH = 128  # lane-aligned leaf slices (dynamic lane offsets)
 # attr-table residency cap: 160 B per bundled triangle ([40, B_pad] f32)
 RESIDENT_MAX_BUNDLED = 48 * 1024
 
-# attr-table row map ([40, B_pad] component rows)
-_R_V0, _R_E1, _R_E2 = 0, 3, 6
-_R_N0, _R_N1, _R_N2 = 9, 12, 15
-_R_GN, _R_KA, _R_KD, _R_KS = 18, 21, 24, 27
-_R_SHIN = 30
-_R_KE, _R_AREA = 31, 34
+# attr-table row map ([40, B_pad] component rows). Geometry is the
+# 13-float Woop transform (ops/woop.py); the geometric normal derives
+# from its w-row (gn = m_w * sqrt(|n|^2)) instead of occupying rows.
+_R_WOOP = 0
+_R_N0, _R_N1, _R_N2 = 13, 16, 19
+_R_KA, _R_KD, _R_KS = 22, 25, 28
+_R_SHIN = 31
+_R_KE, _R_AREA = 32, 35
 _ROWS = 40
 # textured (deferred) extension rows: per-corner texture coordinates laid
 # out corner-major (uv0.x, uv1.x, uv2.x | uv0.y, uv1.y, uv2.y) so the
@@ -77,9 +79,10 @@ def pack_bvh_attr_table(bvh: BVH, scene: Scene,
     B_pad = ((max(B, LEAF_WIDTH) + LEAF_WIDTH - 1)
              // LEAF_WIDTH) * LEAF_WIDTH
     tab = np.zeros((_ROWS_TEX if textured else _ROWS, B_pad), np.float32)
-    tab[_R_V0:_R_V0 + 3, :B] = np.asarray(bvh.tri_v0).T
-    tab[_R_E1:_R_E1 + 3, :B] = np.asarray(bvh.tri_e1).T
-    tab[_R_E2:_R_E2 + 3, :B] = np.asarray(bvh.tri_e2).T
+    tab[_R_WOOP:_R_WOOP + 13, :B] = woop_rows(
+        np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1),
+        np.asarray(bvh.tri_e2), xp=np).T
+    tab[_R_WOOP + 11, B:] = 1.0   # tail past B: always-miss transform
 
     T = int(scene.num_triangles)
     raw = np.asarray(bvh.tri_orig)[:B]
@@ -88,9 +91,6 @@ def pack_bvh_attr_table(bvh: BVH, scene: Scene,
     tab[_R_N0:_R_N0 + 3, :B] = np.asarray(scene.n0)[orig].T
     tab[_R_N1:_R_N1 + 3, :B] = np.asarray(scene.n1)[orig].T
     tab[_R_N2:_R_N2 + 3, :B] = np.asarray(scene.n2)[orig].T
-    gn = np.cross(np.asarray(bvh.tri_e1), np.asarray(bvh.tri_e2))
-    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    tab[_R_GN:_R_GN + 3, :B] = gn.T
 
     mat = np.asarray(scene.tri_mat)[orig]
     m = real.astype(np.float32)
@@ -122,29 +122,21 @@ def bvh_whitted_supported(scene: Scene) -> bool:
     return bool((maps < 0).all())
 
 
-def _mt_uv(o, d, v0, e1, e2):
-    """[W, RB] Möller-Trumbore planes (t masked to _BIG, u, v) of [W, 1]
-    triangle components against [1, RB] ray components."""
-    px = d[1] * e2[2] - d[2] * e2[1]
-    py = d[2] * e2[0] - d[0] * e2[2]
-    pz = d[0] * e2[1] - d[1] * e2[0]
-    det = e1[0] * px + e1[1] * py + e1[2] * pz
-    inv_det = 1.0 / det
-    tx = o[0] - v0[0]
-    ty = o[1] - v0[1]
-    tz = o[2] - v0[2]
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1[2] - tz * e1[1]
-    qy = tz * e1[0] - tx * e1[2]
-    qz = tx * e1[1] - ty * e1[0]
-    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
-    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
-        & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-    # u/v are masked too: degenerate rows (det ~ 0) carry inf/NaN that
-    # would poison the winner select-reduce (0 * inf == NaN)
-    return (jnp.where(ok, t, _BIG), jnp.where(ok, u, 0.0),
-            jnp.where(ok, v, 0.0))
+def _woop_uv(o, d, blk_t):
+    """[W, RB] Woop intersection planes (t masked to _BIG, u, v) of a
+    [W, rows] transposed leaf block against [1, RB] ray components.
+    Masked u/v: degenerate rows would otherwise poison the winner
+    select-reduce with 0 * inf = NaN (ops/woop.py masks them)."""
+    w = tuple(blk_t[:, _R_WOOP + i:_R_WOOP + i + 1] for i in range(13))
+    return woop_tuv(o, d, w)
+
+
+def _gn_from_picks(pick_row):
+    """Unit geometric normal from the winner's Woop w-row
+    (m_w = n/|n|^2 => gn = m_w * sqrt(|n|^2))."""
+    s = jnp.sqrt(pick_row(_R_WOOP + 12))
+    return [pick_row(_R_WOOP + 6) * s, pick_row(_R_WOOP + 7) * s,
+            pick_row(_R_WOOP + 8) * s]
 
 
 # picks: interpolated normal (3), gn (3), ka (3), kd (3), ks (3), shin (1)
@@ -172,8 +164,8 @@ def _solid_planes(with_emissive):
         for c in range(3):
             new.append(w * pick_row(_R_N0 + c) + u * pick_row(_R_N1 + c)
                        + v * pick_row(_R_N2 + c))
-        for r in (_R_GN, _R_GN + 1, _R_GN + 2,
-                  _R_KA, _R_KA + 1, _R_KA + 2,
+        new += _gn_from_picks(pick_row)
+        for r in (_R_KA, _R_KA + 1, _R_KA + 2,
                   _R_KD, _R_KD + 1, _R_KD + 2,
                   _R_KS, _R_KS + 1, _R_KS + 2,
                   _R_SHIN):
@@ -202,8 +194,8 @@ def _deferred_planes(with_emissive):
         for c in range(3):
             new.append(w * pick_row(_R_N0 + c) + u * pick_row(_R_N1 + c)
                        + v * pick_row(_R_N2 + c))
-        for r in (_R_GN, _R_GN + 1, _R_GN + 2,
-                  _R_KA, _R_KA + 1, _R_KA + 2,
+        new += _gn_from_picks(pick_row)
+        for r in (_R_KA, _R_KA + 1, _R_KA + 2,
                   _R_SHIN):
             new.append(pick_row(r))
         new.append(_interp3(pick_row, _R_UVX, u, v, w))
@@ -254,11 +246,7 @@ def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
         blk = tab_ref[:, pl.ds(off, LEAF_WIDTH)]        # [40, W]
         blk_t = blk.T                                   # [W, 40]
 
-        def rows3(r):
-            return (blk_t[:, r:r + 1], blk_t[:, r + 1:r + 2],
-                    blk_t[:, r + 2:r + 3])
-
-        t, u, v = _mt_uv(o, d, rows3(_R_V0), rows3(_R_E1), rows3(_R_E2))
+        t, u, v = _woop_uv(o, d, blk_t)
         return blk_t, t, u, v
 
     def closest(o, d, lane_alive):

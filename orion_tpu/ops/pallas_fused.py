@@ -58,7 +58,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from orion_tpu.ops.intersect import MT_EPS
+
 from orion_tpu.scene import Scene
 
 FUSED_CHUNK = 512             # rows per statically-shaped sweep slice
@@ -115,11 +115,16 @@ def _norm3(x, y, z, eps=1e-20):
     return x * inv, y * inv, z * inv
 
 
-# triangle-table column map ([T_pad, 32] resident rows)
-_C_V0, _C_E1, _C_E2 = 0, 3, 6
-_C_N0, _C_N1, _C_N2 = 9, 12, 15
-_C_KD, _C_KE, _C_GN = 18, 21, 24
-_C_AREA, _C_MESH, _C_PC = 27, 28, 29
+# triangle-table column map ([T_pad, 32] resident rows). Geometry is the
+# 13-float Woop transform (ops/woop.py; 3.5x the MT planes it replaced).
+# Two former columns are DERIVED rather than stored, keeping the table at
+# 32 columns: the geometric normal is the transform's w-row rescaled
+# (gn = m_w * sqrt(|n|^2), since m_w = n/|n|^2 — see _gn_from_got) and
+# the RR continuation probability is max(kd) recomputed on the winner.
+_C_WOOP = 0
+_C_N0, _C_N1, _C_N2 = 13, 16, 19
+_C_KD, _C_KE = 22, 25
+_C_AREA, _C_MESH = 28, 29
 
 
 def _fused_t_pad(T: int) -> int:
@@ -135,8 +140,11 @@ def _fused_t_pad(T: int) -> int:
 def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     """Host-side [T_pad, 32] table: geometry + shading + emitter columns.
 
-    Padding rows are degenerate (e1 = e2 = 0 => MT det 0 => never hit).
+    Geometry columns are the Woop transform (float64 precompute on the
+    host); padding rows carry the always-miss transform.
     """
+    from orion_tpu.ops.woop import woop_rows
+
     T = int(scene.num_triangles)
     T_pad = _fused_t_pad(T)
     tab = np.zeros((T_pad, 32), np.float32)
@@ -144,9 +152,8 @@ def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     v0 = np.asarray(scene.tri_v0)[:T]
     e1 = np.asarray(scene.tri_e1)[:T]
     e2 = np.asarray(scene.tri_e2)[:T]
-    tab[:T, _C_V0:_C_V0 + 3] = v0
-    tab[:T, _C_E1:_C_E1 + 3] = e1
-    tab[:T, _C_E2:_C_E2 + 3] = e2
+    tab[:T, _C_WOOP:_C_WOOP + 13] = woop_rows(v0, e1, e2, xp=np)
+    tab[T:, _C_WOOP + 11] = 1.0   # padding: c_w = 1, d'_w = 0 => miss
     tab[:T, _C_N0:_C_N0 + 3] = np.asarray(scene.n0)[:T]
     tab[:T, _C_N1:_C_N1 + 3] = np.asarray(scene.n1)[:T]
     tab[:T, _C_N2:_C_N2 + 3] = np.asarray(scene.n2)[:T]
@@ -156,34 +163,36 @@ def pack_fused_tri_table(scene: Scene) -> np.ndarray:
     ke = np.asarray(scene.mat_emissive)[mat]
     tab[:T, _C_KD:_C_KD + 3] = kd
     tab[:T, _C_KE:_C_KE + 3] = ke
-    gn = np.cross(e1, e2)
-    gn = gn / np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    tab[:T, _C_GN:_C_GN + 3] = gn
     tab[:T, _C_AREA] = np.asarray(scene.mesh_area)[mat]
     tab[:T, _C_MESH] = mat.astype(np.float32)
-    tab[:T, _C_PC] = kd.max(axis=1)
-    # padding rows: unhittable (e1 = e2 = 0) but anchored at the last real
-    # vertex so chunk AABBs (fused_chunk_bounds) stay tight
-    if T_pad > T and T > 0:
-        tab[T:, _C_V0:_C_V0 + 3] = v0[T - 1]
     return tab
 
 
-def fused_chunk_bounds(tab: np.ndarray):
-    """Per-FUSED_CHUNK AABBs of a packed table: (lo [n,3], hi [n,3]).
+def fused_chunk_bounds(scene: Scene):
+    """Per-FUSED_CHUNK AABBs of the scene's packed order: (lo, hi [n,3]).
 
     OBJ triangle order is mesh-grouped and therefore spatially coherent,
     so natural-order chunks bound tight regions; the kernel's chunk loop
     slab-tests each box against the live segment [0, t_best) and skips
     chunks no lane can improve in (a one-level hierarchy over the brute
-    sweep — the fused path's answer to the BVH's node culling).
+    sweep — the fused path's answer to the BVH's node culling). Computed
+    from raw geometry (the table itself carries Woop transforms, not
+    vertices); padding rows anchor at the last real vertex so tails stay
+    tight.
     """
-    T_pad = tab.shape[0]
+    T = int(scene.num_triangles)
+    T_pad = _fused_t_pad(T)
+    v0 = np.asarray(scene.tri_v0)[:T]
+    e1 = np.asarray(scene.tri_e1)[:T]
+    e2 = np.asarray(scene.tri_e2)[:T]
     n = max(T_pad // FUSED_CHUNK, 1)
-    v0 = tab[:, _C_V0:_C_V0 + 3]
-    p1 = v0 + tab[:, _C_E1:_C_E1 + 3]
-    p2 = v0 + tab[:, _C_E2:_C_E2 + 3]
-    pts = np.stack([v0, p1, p2], axis=1).reshape(n, -1, 3)
+    pts = np.empty((T_pad, 3, 3), np.float32)
+    pts[:T, 0] = v0
+    pts[:T, 1] = v0 + e1
+    pts[:T, 2] = v0 + e2
+    if T_pad > T and T > 0:
+        pts[T:] = pts[T - 1, 0]
+    pts = pts.reshape(n, -1, 3)
     return (pts.min(axis=1).astype(np.float32),
             pts.max(axis=1).astype(np.float32))
 
@@ -191,17 +200,25 @@ def fused_chunk_bounds(tab: np.ndarray):
 def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
     """Differentiable (jnp) table pack: gradients flow from table columns
     back to scene.mat_diffuse / scene.mat_emissive (the PRB oracle path
-    and anything that wants end-to-end AD through the replica)."""
+    and anything that wants end-to-end AD through the replica).
+
+    Geometry columns are BAKED from concrete arrays with the same float64
+    host precompute as every kernel pack — bitwise-identical transform
+    rows are what keeps the jnp replica's hits/RR decisions exactly equal
+    to the megakernels' (tests/test_bvh_path.py rtol 1e-6). PRB
+    differentiates material tables only, so geometry needs no trace; a
+    scene with traced geometry must use the wavefront path instead."""
+    from orion_tpu.ops.woop import woop_rows
+
     T = int(scene.num_triangles)
     T_pad = _fused_t_pad(T)
     tab = jnp.zeros((T_pad, 32), jnp.float32)
 
-    v0 = scene.tri_v0[:T]
-    e1 = scene.tri_e1[:T]
-    e2 = scene.tri_e2[:T]
-    tab = tab.at[:T, _C_V0:_C_V0 + 3].set(v0)
-    tab = tab.at[:T, _C_E1:_C_E1 + 3].set(e1)
-    tab = tab.at[:T, _C_E2:_C_E2 + 3].set(e2)
+    geom = woop_rows(np.asarray(scene.tri_v0)[:T],
+                     np.asarray(scene.tri_e1)[:T],
+                     np.asarray(scene.tri_e2)[:T], xp=np)
+    tab = tab.at[:T, _C_WOOP:_C_WOOP + 13].set(jnp.asarray(geom))
+    tab = tab.at[T:, _C_WOOP + 11].set(1.0)
     tab = tab.at[:T, _C_N0:_C_N0 + 3].set(scene.n0[:T])
     tab = tab.at[:T, _C_N1:_C_N1 + 3].set(scene.n1[:T])
     tab = tab.at[:T, _C_N2:_C_N2 + 3].set(scene.n2[:T])
@@ -211,14 +228,8 @@ def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
     ke = scene.mat_emissive[mat]
     tab = tab.at[:T, _C_KD:_C_KD + 3].set(kd)
     tab = tab.at[:T, _C_KE:_C_KE + 3].set(ke)
-    gn = jnp.cross(e1, e2)
-    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    tab = tab.at[:T, _C_GN:_C_GN + 3].set(gn)
     tab = tab.at[:T, _C_AREA].set(scene.mesh_area[mat])
     tab = tab.at[:T, _C_MESH].set(mat.astype(jnp.float32))
-    tab = tab.at[:T, _C_PC].set(jnp.max(kd, axis=1))
-    if T_pad > T and T > 0:  # padding anchor, as pack_fused_tri_table
-        tab = tab.at[T:, _C_V0:_C_V0 + 3].set(v0[T - 1])
     return tab
 
 
@@ -247,35 +258,27 @@ def _emitters_consts(scene: Scene):
 # shared estimator builders (kernel body == jnp replica == PRB replay)
 # ---------------------------------------------------------------------------
 
+# winner columns from which the geometric normal is derived:
+# gn = m_w * sqrt(|n|^2) (the w-row of the Woop transform is n/|n|^2)
+_GN_ATTRS = (_C_WOOP + 6, _C_WOOP + 7, _C_WOOP + 8, _C_WOOP + 12)
+
+
+def _gn_from_got(got):
+    """Unit geometric normal of the winner from its gathered Woop rows."""
+    s = jnp.sqrt(got[_C_WOOP + 12])
+    return (got[_C_WOOP + 6] * s, got[_C_WOOP + 7] * s,
+            got[_C_WOOP + 8] * s)
+
+
 def _mt_planes_at(colk, o, d):
-    """Möller-Trumbore planes over one table slice via accessor `colk(c)`
-    ([rows, 1] column): (t_masked, u, v) [rows, RB] planes."""
+    """Woop intersection planes over one table slice via accessor
+    `colk(c)` ([rows, 1] column): (t_masked, u, v) [rows, RB] planes.
+    (Name kept from the Möller-Trumbore generation for the PRB call
+    sites; the math is ops/woop.py's.)"""
+    from orion_tpu.ops.woop import woop_tuv
 
-    def cols3(c):
-        return colk(c), colk(c + 1), colk(c + 2)
-
-    v0x, v0y, v0z = cols3(_C_V0)
-    e1x, e1y, e1z = cols3(_C_E1)
-    e2x, e2y, e2z = cols3(_C_E2)
-    ox, oy, oz = o
-    dx, dy, dz = d
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = 1.0 / det
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
-        & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
-    return jnp.where(ok, t, _BIG), u, v
+    w = tuple(colk(_C_WOOP + i) for i in range(13))
+    return woop_tuv(o, d, w)
 
 
 def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
@@ -643,9 +646,10 @@ def _cosine_bounce(sn, u1, psi01):
     return bdx, bdy, bdz
 
 
-# winner attribute columns each bounce reads
+# winner attribute columns each bounce reads (gn derives from _GN_ATTRS;
+# the RR probability is max(kd) recomputed on the winner)
 _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
-                 + tuple(range(_C_KD, _C_PC + 1)))
+                 + tuple(range(_C_KD, _C_MESH + 1)) + _GN_ATTRS)
 
 
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
@@ -692,7 +696,7 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
         # hit point + normals
         hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
         snx, sny, snz = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
-        gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+        gn = _gn_from_got(got)
 
         kdr, kdg, kdb = got[_C_KD], got[_C_KD + 1], got[_C_KD + 2]
 
@@ -726,7 +730,7 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
         # Russian roulette + cosine bounce (raytracer.cpp:161-194)
         u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
-        p_cont = got[_C_PC]
+        p_cont = jnp.maximum(jnp.maximum(kdr, kdg), kdb)
         cont = hit & (depth < max_depth) & (u_rr <= p_cont) \
             & (samp < S)
         # double-where so the dead branch has a FINITE Jacobian: the VJP
@@ -918,7 +922,7 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
              // ray_block) * ray_block
 
     tab_np = pack_fused_tri_table(scene)
-    lo, hi = fused_chunk_bounds(tab_np)
+    lo, hi = fused_chunk_bounds(scene)
     clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
     tri_tab = jnp.asarray(tab_np)
     T_pad = tri_tab.shape[0]

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused brute-force Möller-Trumbore nearest-hit sweep.
+"""Pallas TPU kernel: fused brute-force nearest-hit sweep (Woop planes).
 
 The TPU-native analogue of the reference's 8-wide AVX packet intersector
 (/root/reference/orion/avx/geometry.hpp:86-142): where the reference packs
@@ -7,18 +7,22 @@ The TPU-native analogue of the reference's 8-wide AVX packet intersector
 per chunk, sweeping all chunks with an improve-only (t, id) state held
 on-chip, so the O(rays x triangles) intermediate planes never touch HBM
 (the jnp fallback in ops/intersect.py materializes them ~25x per call).
+The per-pair test is the shared Woop unit-triangle transform
+(ops/woop.py — measured 3.5x the Möller-Trumbore plane this replaced,
+same predicate semantics).
 
 Memory design (chosen against Mosaic's layout rules after measuring the
 alternatives on hardware — see git history for the DMA-streamed and
 transposed variants this replaced):
   - rays arrive as ONE [8, N] component-row array (ox oy oz dx dy dz 0 0);
     an [8, RB] block yields [1, RB] components as *static* row slices;
-  - triangle data is ONE [T_pad, 16] row-per-triangle array resident in
-    VMEM; chunks are *static* row ranges (the chunk loop unrolls in
-    Python), components are *static* column slices -> [TC, 1]. Sublane
-    granularity means a 36-triangle cornell box pads to TC=40, not 128.
-    Residency costs 512 B/triangle of padded VMEM — good to ~16k
-    triangles; larger scenes belong to the BVH backend anyway;
+  - triangle data is ONE [T_pad, 16] row-per-triangle array (the 13
+    Woop transform floats in cols 0..12) resident in VMEM; chunks are
+    *static* row ranges (the chunk loop unrolls in Python), components
+    are *static* column slices -> [TC, 1]. Sublane granularity means a
+    36-triangle cornell box pads to TC=40, not 128. Residency costs
+    512 B/triangle of padded VMEM — good to ~16k triangles; larger
+    scenes belong to the BVH backend anyway;
   - zero transposes, zero dynamic slices; outputs are [1, N] lane-major.
 
 Contract matches ops.intersect.mt_test: two-sided MT, eps=1e-6 on the
@@ -40,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from orion_tpu.ops.intersect import MT_EPS, Hit
+from orion_tpu.ops.intersect import Hit
+from orion_tpu.ops.woop import woop_rows, woop_t
 from orion_tpu.scene import Scene
 
 # max triangles per statically-unrolled chunk (sublane dim of the plane)
@@ -51,38 +56,6 @@ PLANE_BUDGET = 96 * 1024
 RESIDENT_MAX_TRIS = 16 * 1024
 
 _BIG = np.float32(3.0e38)
-
-
-def mt_plane(o, d, v0, e1, e2):
-    """Branchless MT on broadcast component planes -> masked t (_BIG=miss).
-
-    Orientation-agnostic: pass o/d comps [1,RB] and tri comps [TC,1] for a
-    [TC,RB] plane, or the transpose for [RB,TC].
-    """
-    ox, oy, oz = o
-    dx, dy, dz = d
-    v0x, v0y, v0z = v0
-    e1x, e1y, e1z = e1
-    e2x, e2y, e2z = e2
-
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = 1.0 / det
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-    ok = (jnp.abs(det) > MT_EPS) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-        & (u + v <= 1.0) & (t >= 0.0)
-    return jnp.where(ok, t, _BIG)
 
 
 def ray_rows(r_ref):
@@ -107,11 +80,8 @@ def pack_ray_rows(orig, dirs, n_pad: int, alive=None):
 
 
 def tri_cols(block):
-    """[TC,16] triangle rows -> ((v0),(e1),(e2)) [TC,1] comps, static."""
-    v0 = (block[:, 0:1], block[:, 1:2], block[:, 2:3])
-    e1 = (block[:, 3:4], block[:, 4:5], block[:, 5:6])
-    e2 = (block[:, 6:7], block[:, 7:8], block[:, 8:9])
-    return v0, e1, e2
+    """[TC,16] triangle rows -> 13 Woop comps as [TC,1] static slices."""
+    return tuple(block[:, i:i + 1] for i in range(13))
 
 
 def _brute_kernel(r_ref, tri_ref, t_out, id_out):
@@ -134,8 +104,8 @@ def _brute_kernel(r_ref, tri_ref, t_out, id_out):
     def sweep(state):
         t_best, id_best = state
         for c in range(n_chunks):  # static unroll: all slices static
-            v0, e1, e2 = tri_cols(tri_ref[c * tc:(c + 1) * tc, :])
-            t = mt_plane(o, d, v0, e1, e2)               # [TC,RB]
+            w = tri_cols(tri_ref[c * tc:(c + 1) * tc, :])
+            t = woop_t(o, d, w)                          # [TC,RB]
 
             t_min = jnp.min(t, axis=0, keepdims=True)    # [1,RB]
             # argmin-by-value: smallest row achieving t_min
@@ -163,14 +133,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_tri_rows16(tri_v0, tri_e1, tri_e2, chunk: int):
-    """[T,3]x3 -> [T_pad, 16] triangle rows (v0|e1|e2 in cols 0..8),
-    padding rows degenerate."""
+    """[T,3]x3 -> [T_pad, 16] triangle rows (the 13 Woop transform
+    floats in cols 0..12), padding rows always-miss."""
     T = tri_v0.shape[0]
     T_pad = _round_up(max(T, chunk), chunk)
     data = jnp.zeros((T_pad, 16), jnp.float32)
-    data = data.at[:T, 0:3].set(tri_v0)
-    data = data.at[:T, 3:6].set(tri_e1)
-    data = data.at[:T, 6:9].set(tri_e2)
+    data = data.at[:T, 0:13].set(woop_rows(tri_v0, tri_e1, tri_e2))
+    # padding rows: all-zero M with c_w = 1 => d'_w = 0 => eps-miss
+    data = data.at[T:, 11].set(1.0)
     return data
 
 

@@ -64,10 +64,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.ops.pallas_fused import (
-    _BOUNCE_ATTRS, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_PC,
-    _C_N0, _C_N1, _C_N2, _cosine_bounce, _emitter_consts, _interp_n,
-    _make_geom, _make_nee, _make_primary, _make_regen_body, _norm3,
-    _rr_bounce_draws, BIAS, FUSED_CHUNK, RAY_BLOCK, camera_vec,
+    _BOUNCE_ATTRS, _C_AREA, _C_KD, _C_KE, _C_MESH,
+    _C_N0, _C_N1, _C_N2, _cosine_bounce, _emitter_consts, _gn_from_got,
+    _interp_n, _make_geom, _make_nee, _make_primary, _make_regen_body,
+    _norm3, _rr_bounce_draws, BIAS, FUSED_CHUNK, RAY_BLOCK, camera_vec,
     fused_path_supported, pack_fused_tri_table, seed_scalar)
 from orion_tpu.scene import Scene
 
@@ -173,7 +173,7 @@ def replay_impl(sweep, cam, seed, pix, in_image, w_ref, ls_ref, out_ref,
         hy = o[1] + t * d[1]
         hz = o[2] + t * d[2]
         sn = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
-        gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+        gn = _gn_from_got(got)
         kd = (got[_C_KD], got[_C_KD + 1], got[_C_KD + 2])
 
         ndx, ndy, ndz = _norm3(*d)
@@ -186,7 +186,7 @@ def replay_impl(sweep, cam, seed, pix, in_image, w_ref, ls_ref, out_ref,
         contrib = tuple(T[c] * r[c] * hitf for c in range(3))
 
         u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
-        p_cont = got[_C_PC]
+        p_cont = jnp.maximum(jnp.maximum(kd[0], kd[1]), kd[2])
         cont = hit & (depth < max_depth) & (u_rr <= p_cont) \
             & (samp < S)
         safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)

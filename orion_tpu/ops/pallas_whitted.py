@@ -35,10 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.ops.pallas_fused import (
-    _BIG, _C_AREA, _C_GN, _C_KD, _C_KE, _C_MESH, _C_N0, _C_N1, _C_N2,
-    _fused_t_pad, _interp_n, _make_geom, _make_primary, _norm3, BIAS,
-    FUSED_CHUNK, FUSED_MAX_TRIS, RAY_BLOCK, camera_vec,
-    fused_chunk_bounds, pack_fused_tri_table, seed_scalar)
+    _BIG, _C_AREA, _C_KD, _C_KE, _C_MESH, _C_N0, _C_N1, _C_N2,
+    _GN_ATTRS, _fused_t_pad, _gn_from_got, _interp_n, _make_geom,
+    _make_primary, _norm3, BIAS, FUSED_CHUNK, FUSED_MAX_TRIS, RAY_BLOCK,
+    camera_vec, fused_chunk_bounds, pack_fused_tri_table, seed_scalar)
 from orion_tpu.scene import Scene
 
 MAX_LIGHTS = 8
@@ -50,11 +50,10 @@ _W_COLS = 40
 _WHITTED_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
                   + (_C_KD, _C_KD + 1, _C_KD + 2,
                      _C_KE, _C_KE + 1, _C_KE + 2,
-                     _C_GN, _C_GN + 1, _C_GN + 2,
                      _C_AREA,
                      _C_KA, _C_KA + 1, _C_KA + 2,
                      _C_KS, _C_KS + 1, _C_KS + 2,
-                     _C_SHIN))
+                     _C_SHIN) + _GN_ATTRS)
 
 
 def pack_whitted_tri_table(scene: Scene) -> np.ndarray:
@@ -149,7 +148,7 @@ def _make_whitted_kernel(T_pad: int, W: int, H: int, samples: int,
             hitf = hit.astype(jnp.float32)
             hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
             sn = _interp_n(u, v, got, _C_N0, _C_N1, _C_N2)
-            gn = (got[_C_GN], got[_C_GN + 1], got[_C_GN + 2])
+            gn = _gn_from_got(got)
             kd = (got[_C_KD], got[_C_KD + 1], got[_C_KD + 2])
             ka = (got[_C_KA], got[_C_KA + 1], got[_C_KA + 2])
             ks = (got[_C_KS], got[_C_KS + 1], got[_C_KS + 2])
@@ -264,7 +263,7 @@ def make_fused_whitted_renderer(scene: Scene, camera, *, samples: int,
              // ray_block) * ray_block
 
     tab_np = pack_whitted_tri_table(scene)
-    lo, hi = fused_chunk_bounds(tab_np)
+    lo, hi = fused_chunk_bounds(scene)
     clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
     tri_tab = jnp.asarray(tab_np)
     lights = _lights_consts(scene)

@@ -78,7 +78,7 @@ def make_fused_render_sharded(scene: Scene, camera, *, samples: int,
     local = _tile(n_pix, n_chips, ray_block)
 
     tab_np = pack_fused_tri_table(scene)
-    lo, hi = fused_chunk_bounds(tab_np)
+    lo, hi = fused_chunk_bounds(scene)
     clo, chi = jnp.asarray(lo.ravel()), jnp.asarray(hi.ravel())
     tri_tab = jnp.asarray(tab_np)
     emitter = _emitters_consts(scene)

@@ -33,8 +33,7 @@ def test_gate(cornell):
 
 def test_pack_table_layout(cornell):
     from orion_tpu.accel.bvh import SAH, build_bvh
-    from orion_tpu.ops.pallas_fused import (_C_E1, _C_E2, _C_KD, _C_MESH,
-                                            _C_PC)
+    from orion_tpu.ops.pallas_fused import _C_KD, _C_MESH, _C_WOOP
 
     scene, _ = cornell
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
@@ -44,9 +43,11 @@ def test_pack_table_layout(cornell):
     tab = pack_bvh_path_table(bvh, scene)
     assert tab.shape[0] == 32 and tab.shape[1] % 128 == 0
     pad = np.asarray(bvh.tri_orig) < 0
-    # padding rows are degenerate and carry zero material
-    assert (tab[_C_E1:_C_E1 + 3, :len(pad)][:, pad] == 0).all()
-    assert (tab[_C_E2:_C_E2 + 3, :len(pad)][:, pad] == 0).all()
+    # padding rows carry the always-miss Woop transform (zero M rows,
+    # c = (0, 0, 1), |n|^2 = 0) and zero material
+    assert (tab[_C_WOOP:_C_WOOP + 9, :len(pad)][:, pad] == 0).all()
+    assert (tab[_C_WOOP + 11, :len(pad)][pad] == 1.0).all()
+    assert (tab[_C_WOOP + 12, :len(pad)][pad] == 0).all()
     assert (tab[_C_KD:_C_KD + 3, :len(pad)][:, pad] == 0).all()
     # real rows carry their original triangle's material identity
     real = ~pad
@@ -54,9 +55,6 @@ def test_pack_table_layout(cornell):
     np.testing.assert_array_equal(
         tab[_C_MESH, :len(pad)][real],
         np.asarray(scene.tri_mat)[orig].astype(np.float32))
-    assert (tab[_C_PC, :len(pad)][real]
-            == np.asarray(scene.mat_diffuse)[
-                np.asarray(scene.tri_mat)[orig]].max(axis=1)).all()
 
 
 def test_matches_fused_replica_cornell(cornell):

@@ -121,7 +121,7 @@ def test_gate_limits():
     from orion_tpu.scene import subdivide_scene
 
     scene, _ = load_scene(f"{ASSETS}/cornell-box.rtc")
-    # 34 * 4^4 + 2 = 8706 > 8192: one level past the chunked cap
-    s_big = subdivide_scene(scene, levels=4)
+    # 34 * 4^5 + 2 = 34818: one level past the 16k brute gate
+    s_big = subdivide_scene(scene, levels=5)
     assert s_big.num_triangles > FUSED_MAX_TRIS
     assert not fused_path_supported(s_big)
