@@ -6,8 +6,16 @@ Empirical chip ceilings (measured, not quoted):
   - HBM bandwidth: reduction over a multi-GB array (bandwidth-bound).
 
 Kernel work accounting:
-  - Möller-Trumbore costs ~53 VPU flops per ray-triangle test (counted
-    from mt_plane: 3 crosses = 27, 4 dots = 20, 1 div, 5 compares).
+  - The Woop-transform test costs ~48 VPU flops per ray-triangle test
+    (counted from woop_tuv: 3 offset-dots = 18, 3 dots = 15, div+neg = 2,
+    2 FMAs = 4, predicate = 9). The pre-Woop Möller-Trumbore form was
+    ~53 (3 crosses = 27, 4 dots = 20, 1 div, 5 compares) — nearly the
+    same IDEALIZED count, yet measured 3.5x slower on the leaf plane
+    (exp_mt_variants.py): the cross products forced extra vector
+    shuffles/temporaries the count never credited. Flop-accounting
+    percentages below use the Woop count and are therefore comparable
+    across kernels but NOT across rounds (round-2's committed table used
+    53 against the MT kernels of its day).
   - Brute kernel: rays/s x T_pad tests/ray.
   - BVH packet kernel: tests/ray = (leaf visits per block) x 128 x RB /
     RB, taken from a host-side simulation of the block-uniform
@@ -26,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-MT_FLOPS = 53.0
+MT_FLOPS = 48.0   # Woop test (see module docstring); was 53.0 for MT
 
 
 def measure_vpu_peak():
