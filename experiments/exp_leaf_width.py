@@ -45,6 +45,10 @@ def main():
                  yres=1024, load_textures=False)
 
     for w in (128, 256, 512):
+        # leaf lane offsets must stay 128-aligned (pallas_bvh.py:55): a
+        # non-multiple would turn the pl.multiple_of hints into silent
+        # miscompiles rather than errors
+        assert w % 128 == 0, "leaf_width must be a multiple of 128"
         pbw.LEAF_WIDTH = w
         try:
             fn = pbw.make_bvh_whitted_renderer(
@@ -64,19 +68,33 @@ def main():
     r.xres = r.yres = 256
     cam = camera_from_rtc(r)
     print(f"path scene tris={scene.num_triangles}", flush=True)
+    ref_img = None
     for w in (128, 256, 512):
+        assert w % 128 == 0, "leaf_width must be a multiple of 128"
+        # set BOTH modules together: pallas_bvh_path imports helpers from
+        # pallas_bvh_whitted (_woop_uv today); keeping the two widths in
+        # lockstep means any future helper that reads LEAF_WIDTH stays
+        # consistent with the kernel that calls it
         pbp.LEAF_WIDTH = w
+        pbw.LEAF_WIDTH = w
         try:
             fn = pbp.make_bvh_path_renderer(scene, cam, samples=16,
                                             max_depth=8, light_samples=2)
             dt = timeit(fn)
+            img = fn(jax.random.key(0))
+            if ref_img is None:
+                ref_img = img           # w=128 output is the correctness ref
+                err = 0.0
+            else:
+                err = float(abs(img - ref_img).mean())
             mps = 256 * 256 * 16 / dt / 1e6
-            print(f"path subdiv35k leaf={w}: {dt:.3f}s {mps:.2f} M/s",
-                  flush=True)
+            print(f"path subdiv35k leaf={w}: {dt:.3f}s {mps:.2f} M/s "
+                  f"mean|diff vs w128|={err:.2e}", flush=True)
         except Exception as e:
             print(f"path subdiv35k leaf={w}: FAIL {type(e).__name__}: "
                   f"{str(e)[:100]}", flush=True)
     pbp.LEAF_WIDTH = 128
+    pbw.LEAF_WIDTH = 128
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-MT_FLOPS = 48.0   # Woop test (see module docstring); was 53.0 for MT
+WOOP_FLOPS = 48.0  # per-ray-triangle Woop unit-triangle test (was 53.0 for MT)
 
 
 def measure_vpu_peak():
@@ -171,7 +171,7 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     n = orig.shape[0]
     t_pad = int(np.asarray(ps.scene.tri_v0).shape[0])
-    flops = n * t_pad * MT_FLOPS / dt
+    flops = n * t_pad * WOOP_FLOPS / dt
     print(json.dumps({"measure": "brute_cornell",
                       "rays_per_s": round(n / dt, 1),
                       "tests_per_ray": t_pad,
@@ -205,7 +205,7 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     n = orig.shape[0]
     n_blocks = n // rb
-    mt_flops = n_blocks * leaves * 128 * rb * MT_FLOPS / dt
+    mt_flops = n_blocks * leaves * 128 * rb * WOOP_FLOPS / dt
     slab_flops = n_blocks * steps * rb * 30.0 / dt
     print(json.dumps({"measure": "bvh_nanosuit_primary",
                       "rays_per_s": round(n / dt, 1),
@@ -265,7 +265,7 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     rays = 512 * 512 * samples_cfg
     T_pad = tab.shape[0]
-    mt = rays * bounces_per_sample * (1 + ls_cfg) * T_pad * MT_FLOPS / dt
+    mt = rays * bounces_per_sample * (1 + ls_cfg) * T_pad * WOOP_FLOPS / dt
     print(json.dumps({"measure": "fused_cornell_512_16spp",
                       "rays_per_s": round(rays / dt, 1),
                       "bounces_per_sample": round(bounces_per_sample, 3),

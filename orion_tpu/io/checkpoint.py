@@ -59,12 +59,31 @@ def load_checkpoint(path: str | Path):
         return z["accum"], int(z["samples_done"]), z["key_data"], config
 
 
+def _progress_line(done: int, samples: int, chunk_rays: int,
+                   chunk_seconds: float, start_done: int,
+                   elapsed: float) -> str:
+    """One in-flight progress line per chunk: samples done, rays/s, ETA.
+
+    The operator-experience counterpart of the reference's per-scanline
+    tqdm bar (/root/reference/orion/raytracer.cpp:66-68) — a multi-minute
+    checkpointed render should never be silent between flushes."""
+    rate = chunk_rays / max(chunk_seconds, 1e-9)
+    done_since = done - start_done
+    eta = (samples - done) * elapsed / max(done_since, 1)
+    return (f"[render] {done}/{samples} spp  "
+            f"{rate / 1e6:.2f}M primary rays/s  "
+            f"chunk {chunk_seconds:.1f}s  ETA {eta:.0f}s")
+
+
 def render_accumulate(ps, key, *, samples: int, light_samples: int,
                       max_depth: int, mode: Optional[str],
                       path: str | Path, every: int = 64,
-                      regen: bool = False, mesh=None) -> np.ndarray:
+                      regen: bool = False, mesh=None,
+                      progress: bool = True) -> np.ndarray:
     """Render `samples` spp with checkpointed accumulation; returns the mean
     radiance image. Resumes from `path` when it exists and matches.
+    `progress=True` prints a per-chunk progress line (spp done, rays/s,
+    ETA) — the tqdm-per-scanline parity item (raytracer.cpp:66-68).
 
     With `regen=True`, chunks go through the regenerative wavefront path
     tracer (orion_tpu.regen) — much faster at high depth caps, but the
@@ -107,7 +126,12 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
             accum, done = np.asarray(c_accum, np.float32), c_done
         # else: incompatible checkpoint -> start over (and overwrite)
 
+    import sys
+    import time
+
+    start_done, t_start = done, time.perf_counter()
     while done < samples:
+        t_chunk = time.perf_counter()
         n = min(every, samples - done)
         if regen and mesh is not None:
             from orion_tpu.regen import render_regen_shardmap
@@ -144,5 +168,10 @@ def render_accumulate(ps, key, *, samples: int, light_samples: int,
         accum = accum + np.asarray(img, np.float32) * n
         done += n
         save_checkpoint(path, accum, done, key_data, config)
+        if progress:
+            print(_progress_line(done, samples, n * H * W,
+                                 time.perf_counter() - t_chunk, start_done,
+                                 time.perf_counter() - t_start),
+                  file=sys.stderr, flush=True)
 
     return accum / float(max(done, 1))

@@ -288,9 +288,9 @@ def _whitted_bounce(scene: Scene, carry, depth, max_depth: int,
 
 def _octant(dirs: jax.Array) -> jax.Array:
     """3-bit direction octant per ray [N] (packet-coherence sort key)."""
-    return ((dirs[:, 0] >= 0).astype(jnp.int32)
-            + 2 * (dirs[:, 1] >= 0).astype(jnp.int32)
-            + 4 * (dirs[:, 2] >= 0).astype(jnp.int32))
+    from orion_tpu.ops.reorder import direction_octant
+
+    return direction_octant(dirs)
 
 
 def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
@@ -318,12 +318,16 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     only the cheap shading math and never re-runs an intersection
     kernel. Forward-only renders ignore it; training wants "hits".
 
-    sort_bounces: after each bounce, reorder the wavefront by
-    (dead-last, direction octant) so the Pallas packet kernels see
-    coherent blocks on secondary rays; radiance is un-permuted at the
-    end. Changes which RNG slot each ray draws (still a valid,
-    deterministic estimator; images differ from unsorted at the noise
-    level). Off by default.
+    sort_bounces: False | True | "octant" | "morton". After each bounce,
+    reorder the wavefront so the Pallas packet kernels see coherent
+    blocks on secondary rays; radiance is un-permuted at the end.
+    "octant" (== True, back-compat) keys on (dead-last, direction
+    octant); "morton" additionally keys on the morton code of the ray
+    origin inside the scene AABB — the production choice for enclosed
+    scenes, where bounce origins scatter across finely subdivided
+    geometry (ops/reorder.py). Changes which RNG slot each ray draws
+    (still a valid, deterministic estimator; images differ from
+    unsorted at the noise level). Off by default.
     """
     if mode is None:
         mode = "whitted" if scene.num_lights > 0 else "path"
@@ -370,12 +374,23 @@ def trace_wavefront(scene: Scene, orig: jax.Array, dirs: jax.Array,
     pix = jnp.arange(N, dtype=jnp.int32)
     acc = jnp.zeros((N, 3), jnp.float32)
 
+    if sort_bounces == "morton":
+        from orion_tpu.ops.reorder import coherence_key, scene_bounds
+
+        s_lo, s_hi = scene_bounds(scene)
+
+        def sort_key(orig, dirs, alive):
+            return coherence_key(orig, dirs, alive, s_lo, s_hi)
+    else:
+        def sort_key(orig, dirs, alive):
+            return jnp.where(alive, _octant(dirs), 8)
+
     def body(carry, depth):
         orig, dirs, throughput, alive, pix, acc = carry
         (orig, dirs, throughput, alive), radiance = bounce(
             (orig, dirs, throughput, alive), depth)
         acc = acc + radiance
-        perm = jnp.argsort(jnp.where(alive, _octant(dirs), 8))
+        perm = jnp.argsort(sort_key(orig, dirs, alive), stable=True)
         carry = tuple(a[perm] for a in
                       (orig, dirs, throughput, alive, pix, acc))
         return carry, None
