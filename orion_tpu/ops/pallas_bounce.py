@@ -1,0 +1,398 @@
+"""Sorted-wavefront path tracing: one fused Pallas kernel per bounce.
+
+Round-3 architecture for path tracing at scene scale (VERDICT r2 weak
+#1). Two measured facts drive it (experiments/exp_scaffold_cost.py,
+exp_g8_bench.py, on the 35k-tri subdivided cornell at 256^2 x 16 spp):
+
+  1. The jnp wavefront's per-bounce NON-kernel work costs ~170 ms — the
+     NEE scaffold's HBM gathers (sample_mesh_point, hit_attributes on
+     2.1M stacked shadow rays) dwarf everything. Nine bounces of that is
+     2.4x the whole traversal budget.
+  2. The block-uniform BVH walk on a morton+octant SORTED wavefront runs
+     at 15-20M rays/s — the sort, not finer control flow, is what fixes
+     bounce-ray divergence (a grouped-pointer kernel measured *slower*:
+     scalar-unit overhead beats the union savings).
+
+So: keep the wavefront OUTSIDE the kernel (so it can be globally sorted
+between bounces — the one thing a resident megakernel cannot do), and
+fuse EVERYTHING per bounce INTO one kernel (closest-hit walk with winner
+attributes, the depth-0 emissive term, NEE shadow walks against baked
+emitters, Russian roulette, cosine bounce, in-VMEM radiance
+accumulation, and the NEXT bounce's coherence sort key). Between
+kernels, jnp does exactly one argsort + two gathers.
+
+Estimator identity: this is the megakernel estimator (pallas_fused's
+_BOUNCE_ATTRS sweep + _make_nee + _cosine_bounce, PCG4D streams keyed on
+(pixel, sample, depth)) — per-ray results are PERMUTATION-INVARIANT, so
+the sorted kernel image matches the unsorted jnp replica bit-for-bit up
+to nearest-hit ties (tests/test_bounce.py). RNG parity with
+ops/pallas_bvh_path.py's regenerative megakernel is per-site identical
+when samples ride lanes (samp = lane's static sample index).
+
+State layout (HBM, between bounces):
+  f32 [16, N]: 0-2 origin, 3-5 dir, 6-8 throughput, 9 alive flag,
+               10-12 accumulated radiance, 13 sort key (integer-valued,
+               < 2^22 so exact in f32), 14-15 pad
+  i32 [8, N]:  0 pixel id, 1 sample index, 2-7 pad (8 rows for tiling)
+
+vs the reference: the same estimator as RayTracer::trace's BRDF branch
+(/root/reference/orion/raytracer.cpp:105-194) — the reference's
+recursion becomes 1 + max_depth kernel launches over a wavefront the
+host re-sorts; the reference never needs this because one CPU ray IS
+coherent (SURVEY 2.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orion_tpu.ops.pallas_bvh_path import (_make_path_sweep,
+                                           bvh_path_device_data,
+                                           bvh_path_supported)
+from orion_tpu.ops.pallas_fused import (_BIG, _BOUNCE_ATTRS, _C_AREA,
+                                        _C_KD, _C_KE, _C_N0, _C_MESH,
+                                        _cosine_bounce, _emitters_consts,
+                                        _gn_from_got, _interp_n, _make_nee,
+                                        _norm3, _rr_bounce_draws,
+                                        seed_scalar)
+from orion_tpu.scene import Scene
+
+BIAS = np.float32(1e-3)
+RAY_BLOCK = 512        # sorted wavefronts measured best at 512
+MORTON_BITS = 6
+_DEAD_KEY = np.int32(1 << (3 * MORTON_BITS + 3))
+
+
+def _make_bounce_step(sweep, emitter, seed, light_samples: int,
+                      max_depth: int):
+    """One path bounce over component planes; array-library agnostic
+    (kernel refs or plain jnp). Returns
+    step(pix, samp, depth, o, d, thr, alive) ->
+        (rad3, new_o, new_d, new_thr, new_alive)
+    where o/d/thr are 3-tuples of like-shaped planes.
+    Formula-for-formula _make_regen_body's bounce, sans regeneration."""
+
+    def step(pix, samp, depth, o, d, thr, alive):
+        nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+        ox, oy, oz = o
+        dx, dy, dz = d
+        tr, tg, tb = thr
+
+        t, hit, u, v, got = sweep((ox, oy, oz), (dx, dy, dz),
+                                  _BOUNCE_ATTRS, alive=alive)
+        hitf = hit.astype(jnp.float32)
+
+        hx, hy, hz = ox + t * dx, oy + t * dy, oz + t * dz
+        snx, sny, snz = _interp_n(u, v, got, _C_N0, _C_N0 + 3, _C_N0 + 6)
+        gn = _gn_from_got(got)
+        kdr, kdg, kdb = got[_C_KD], got[_C_KD + 1], got[_C_KD + 2]
+
+        # depth-0 emissive term (raytracer.cpp:127-128)
+        ndx, ndy, ndz = _norm3(dx, dy, dz)
+        cosv = -(ndx * snx + ndy * sny + ndz * snz)
+        em_scale = jnp.where((depth == 0) & hit, got[_C_AREA] * cosv, 0.0)
+        rr_ = got[_C_KE] * em_scale
+        rg_ = got[_C_KE + 1] * em_scale
+        rb_ = got[_C_KE + 2] * em_scale
+
+        A, _ = nee(samp, depth, (hx, hy, hz), gn, (snx, sny, snz), hit)
+        rr_ += kdr * A[0]
+        rg_ += kdg * A[1]
+        rb_ += kdb * A[2]
+        rad = (tr * rr_ * hitf, tg * rg_ * hitf, tb * rb_ * hitf)
+
+        # Russian roulette + cosine bounce (raytracer.cpp:161-194)
+        u_rr, u1, u2 = _rr_bounce_draws(seed, pix, samp, depth)
+        p_cont = jnp.maximum(jnp.maximum(kdr, kdg), kdb)
+        cont = hit & (depth < max_depth) & (u_rr <= p_cont)
+        safe_p = jnp.where(p_cont > 0.0, p_cont, 1.0)
+        inv_p = jnp.where(p_cont > 0.0, 1.0 / safe_p, 0.0)
+        bdx, bdy, bdz = _cosine_bounce((snx, sny, snz), u1, u2)
+
+        contf = cont.astype(jnp.float32)
+        new_o = (jnp.where(cont, hx + snx * BIAS, ox),
+                 jnp.where(cont, hy + sny * BIAS, oy),
+                 jnp.where(cont, hz + snz * BIAS, oz))
+        new_d = (jnp.where(cont, bdx, dx), jnp.where(cont, bdy, dy),
+                 jnp.where(cont, bdz, dz))
+        new_thr = (tr * kdr * inv_p * contf, tg * kdg * inv_p * contf,
+                   tb * kdb * inv_p * contf)
+        return rad, new_o, new_d, new_thr, cont
+
+    return step
+
+
+def _coherence_key_planes(o, d, alive, lo, hi, bits: int = MORTON_BITS):
+    """In-kernel coherence sort key (ops/reorder.py semantics): dead-last
+    | direction octant | origin morton. lo/hi are python/np float
+    triples (static scene bounds). Integer-valued, < 2^22."""
+    octant = (d[0] >= 0).astype(jnp.int32) \
+        + 2 * (d[1] >= 0).astype(jnp.int32) \
+        + 4 * (d[2] >= 0).astype(jnp.int32)
+    morton = None
+    scale = [np.float32((1 << bits) / max(hi[a] - lo[a], 1e-20))
+             for a in range(3)]
+    for a in range(3):
+        q = ((o[a] - np.float32(lo[a])) * scale[a]).astype(jnp.int32)
+        q = jnp.clip(q, 0, (1 << bits) - 1)
+        spread = jnp.zeros_like(q)
+        for i in range(bits):
+            spread = spread | (((q >> i) & 1) << (3 * i + a))
+        morton = spread if morton is None else (morton | spread)
+    key = (octant << (3 * bits)) | morton
+    return jnp.where(alive, key, _DEAD_KEY)
+
+
+def _scene_bounds_np(scene: Scene):
+    v0 = np.asarray(scene.tri_v0)
+    e1 = np.asarray(scene.tri_e1)
+    e2 = np.asarray(scene.tri_e2)
+    valid = np.asarray(scene.tri_valid)
+    v1, v2 = v0 + e1, v0 + e2
+    pts = np.concatenate([v0[valid], v1[valid], v2[valid]])
+    return pts.min(axis=0), pts.max(axis=0)
+
+
+def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
+                 s_lo, s_hi):
+    def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
+               n_hiz, n_skip, n_start, st_ref, int_ref, tab_ref, out_ref,
+               iout_ref):
+        node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
+                "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
+                "skip": n_skip, "start": n_start}
+        seed = seed_ref[0]
+        depth = depth_ref[0]
+        sweep = _make_path_sweep(node, tab_ref, M)
+        step = _make_bounce_step(sweep, emitter, seed, light_samples,
+                                 max_depth)
+
+        o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
+        d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
+        thr = (st_ref[6:7, :], st_ref[7:8, :], st_ref[8:9, :])
+        alive = st_ref[9:10, :] > 0.0
+        acc = (st_ref[10:11, :], st_ref[11:12, :], st_ref[12:13, :])
+        pix = int_ref[0:1, :]
+        samp = int_ref[1:2, :]
+
+        rad, new_o, new_d, new_thr, cont = step(pix, samp, depth, o, d,
+                                                thr, alive)
+        key = _coherence_key_planes(new_o, new_d, cont, s_lo, s_hi)
+
+        out_ref[0:1, :] = new_o[0]
+        out_ref[1:2, :] = new_o[1]
+        out_ref[2:3, :] = new_o[2]
+        out_ref[3:4, :] = new_d[0]
+        out_ref[4:5, :] = new_d[1]
+        out_ref[5:6, :] = new_d[2]
+        out_ref[6:7, :] = new_thr[0]
+        out_ref[7:8, :] = new_thr[1]
+        out_ref[8:9, :] = new_thr[2]
+        out_ref[9:10, :] = cont.astype(jnp.float32)
+        out_ref[10:11, :] = acc[0] + rad[0]
+        out_ref[11:12, :] = acc[1] + rad[1]
+        out_ref[12:13, :] = acc[2] + rad[2]
+        out_ref[13:14, :] = key.astype(jnp.float32)
+        out_ref[14:16, :] = jnp.zeros((2, out_ref.shape[1]), jnp.float32)
+        iout_ref[:, :] = int_ref[:, :]
+
+    return kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_bounce_call(num_nodes: int, max_depth: int, light_samples: int,
+                      emitter, s_lo, s_hi, n_pad: int, ray_block: int,
+                      interpret: bool):
+    """The raw per-bounce kernel call:
+    (seed [1], depth [1], *node_scalars, state [16, n_pad],
+     ints [8, n_pad], tab) -> (state' [16, n_pad], ints' [8, n_pad])."""
+    kernel = _make_kernel(num_nodes, max_depth, light_samples, emitter,
+                          s_lo, s_hi)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((8, n_pad), jnp.int32)),
+        interpret=interpret,
+    )
+
+
+def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
+                              max_depth: int, light_samples: int = 2,
+                              ray_block: int = RAY_BLOCK,
+                              sort: bool = True,
+                              interpret: bool | None = None):
+    """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
+    fused kernel launch per bounce. Same scene gate as the BVH path
+    megakernel (solid materials, baked emitters)."""
+    if not bvh_path_supported(scene):
+        raise ValueError("scene outside the bvh-path gate "
+                         "(textures / emitters)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if ray_block % 128 != 0:
+        raise ValueError("ray_block must be a multiple of 128")
+
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    N = n_pix * samples
+    n_pad = _round_up(max(N, ray_block), ray_block)
+
+    node_scalars, tab, num_nodes = bvh_path_device_data(
+        scene, check_cap=not interpret)
+    emitter = _emitters_consts(scene)
+    s_lo, s_hi = _scene_bounds_np(scene)
+    call = build_bounce_call(num_nodes, max_depth, light_samples, emitter,
+                             s_lo, s_hi, n_pad, ray_block, interpret)
+
+    from orion_tpu.ops.pallas_fused import camera_vec
+    cam_v = camera_vec(camera)
+
+    # primary rays: the megakernel's own camera + shared-jitter streams
+    # (pallas_fused._make_primary math, evaluated in jnp)
+    from orion_tpu.ops.pallas_fused import _pcg4d, _u01
+
+    def primaries(seed):
+        pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)
+        samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32), n_pix)
+        jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
+                                jnp.full_like(samp, 0x4A17),
+                                jnp.full_like(samp, 0x7E57))
+        jx = _u01(jb0) * np.float32(2.0 / W)
+        jy = _u01(jb1) * np.float32(2.0 / H)
+        pf = pix.astype(jnp.float32)
+        i = jnp.floor((pf + 0.5) * np.float32(1.0 / W))
+        j = pf - i * np.float32(W)
+        x = 2.0 * (j * np.float32(1.0 / W)) - 1.0 + jx
+        y = -(2.0 * (i * np.float32(1.0 / H)) - 1.0 + jy)
+        dx = cam_v[3] + x * cam_v[6] + y * cam_v[9]
+        dy = cam_v[4] + x * cam_v[7] + y * cam_v[10]
+        dz = cam_v[5] + x * cam_v[8] + y * cam_v[11]
+        return pix, samp, x * 0 + cam_v[0], x * 0 + cam_v[1], \
+            x * 0 + cam_v[2], dx, dy, dz
+
+    @jax.jit
+    def _impl(seed):
+        pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0])
+        st = jnp.zeros((16, n_pad), jnp.float32)
+        st = st.at[0, :N].set(ox).at[1, :N].set(oy).at[2, :N].set(oz)
+        st = st.at[3, :N].set(dx).at[4, :N].set(dy).at[5, :N].set(dz)
+        st = st.at[6:9, :N].set(1.0)
+        st = st.at[9, :N].set(1.0)
+        it = jnp.zeros((8, n_pad), jnp.int32)
+        it = it.at[0, :N].set(pix).at[1, :N].set(samp)
+        depth0 = jnp.zeros((1,), jnp.int32)
+
+        def body(carry, depth):
+            st, it = carry
+            if sort:
+                perm = jnp.argsort(st[13].astype(jnp.int32), stable=True)
+                st, it = st[:, perm], it[:, perm]
+            st, it = call(seed, depth[None], *node_scalars, st, it, tab)
+            return (st, it), None
+
+        (st, it), _ = jax.lax.scan(
+            body, (st, it), jnp.arange(max_depth + 1, dtype=jnp.int32))
+        img = jnp.zeros((n_pix, 3), jnp.float32)
+        img = img.at[it[0]].add(st[10:13].T, mode="drop",
+                                unique_indices=False)
+        # padding lanes carry pix 0 but zero radiance (thr 0, alive 0)
+        return img.reshape(H, W, 3) / np.float32(samples)
+
+    def render_bounce(key) -> jax.Array:
+        return _impl(seed_scalar(key))
+
+    return render_bounce
+
+
+def bounce_reference_render(scene: Scene, camera, key, *, samples: int,
+                            max_depth: int, light_samples: int = 2):
+    """Pure-jnp replica over the SAME bundled table and estimator, run
+    unsorted (per-ray results are permutation-invariant): the bit-match
+    oracle for tests, differing only at nearest-hit ties."""
+    from orion_tpu.accel.bvh import SAH, build_bvh
+    from orion_tpu.ops.pallas_bvh_path import pack_bvh_path_table
+    from orion_tpu.ops.pallas_fused import _make_geom, camera_vec
+
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    N = n_pix * samples
+
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=SAH,
+                       leaf_size=128, leaf_width=128)
+    tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
+    B_pad = tab.shape[1]
+    emitter = _emitters_consts(scene)
+    seed = seed_scalar(key)[0]
+    cam_v = camera_vec(camera)
+
+    # brute jnp sweep over the bundled table (same Woop rows the kernel
+    # walks; winner = smallest t, ties by bundled row order)
+    tabT = tab.T            # [B_pad, 32]
+
+    def col(c):
+        return tabT[:, c:c + 1]
+
+    def blk():
+        return tabT
+
+    _, sweep = _make_geom(col, B_pad, chunk=None, blk=blk)
+    step = _make_bounce_step(sweep, emitter, seed, light_samples,
+                             max_depth)
+
+    from orion_tpu.ops.pallas_fused import _pcg4d, _u01
+    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)[None]
+    samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32), n_pix)[None]
+    jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
+                            jnp.full_like(samp, 0x4A17),
+                            jnp.full_like(samp, 0x7E57))
+    jx = _u01(jb0) * np.float32(2.0 / W)
+    jy = _u01(jb1) * np.float32(2.0 / H)
+    pf = pix.astype(jnp.float32)
+    i = jnp.floor((pf + 0.5) * np.float32(1.0 / W))
+    j = pf - i * np.float32(W)
+    x = 2.0 * (j * np.float32(1.0 / W)) - 1.0 + jx
+    y = -(2.0 * (i * np.float32(1.0 / H)) - 1.0 + jy)
+    o = (jnp.broadcast_to(cam_v[0], x.shape),
+         jnp.broadcast_to(cam_v[1], x.shape),
+         jnp.broadcast_to(cam_v[2], x.shape))
+    d = (cam_v[3] + x * cam_v[6] + y * cam_v[9],
+         cam_v[4] + x * cam_v[7] + y * cam_v[10],
+         cam_v[5] + x * cam_v[8] + y * cam_v[11])
+    thr = tuple(jnp.ones_like(x) for _ in range(3))
+    alive = jnp.ones(x.shape, bool)
+    acc = [jnp.zeros_like(x) for _ in range(3)]
+
+    def body(carry, depth):
+        o, d, thr, alive, acc = carry
+        rad, o, d, thr, alive = step(pix, samp, depth, o, d, thr, alive)
+        acc = [a + r for a, r in zip(acc, rad)]
+        return (o, d, thr, alive, acc), None
+
+    (o, d, thr, alive, acc), _ = jax.lax.scan(
+        body, (o, d, thr, alive, acc),
+        jnp.arange(max_depth + 1, dtype=jnp.int32))
+    img = jnp.stack([a[0] for a in acc], axis=-1)         # [N, 3]
+    return jnp.mean(img.reshape(samples, H, W, 3), axis=0)

@@ -145,13 +145,14 @@ def _make_path_sweep(node, tab_ref, M):
         t, u, v = _woop_uv(o, d, blk_t)
         return blk_t, t, u, v
 
-    def sweep(o, d, attr_cols, alive=None):
+    def sweep(o, d, attr_cols, alive=None, t_init=None):
         attr_cols = tuple(attr_cols)
+        cap = _BIG if t_init is None else np.float32(t_init)
         inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
         zero = jnp.zeros(shape, jnp.float32)
-        t0 = (jnp.full(shape, _BIG) if alive is None
-              else jnp.where(alive, _BIG, -_BIG))
+        t0 = (jnp.full(shape, cap) if alive is None
+              else jnp.where(alive, cap, -_BIG))
 
         def body(carry):
             ptr = carry[0]
@@ -209,7 +210,7 @@ def _make_path_sweep(node, tab_ref, M):
                 + tuple(zero for _ in attr_cols))
         out = jax.lax.while_loop(lambda c: c[0] < M, body, init)
         t_b = out[1]
-        hit = t_b < _BIG
+        hit = t_b < cap
         if alive is not None:
             hit = hit & alive
         return (jnp.where(hit, t_b, _BIG), hit, out[2], out[3],

@@ -352,12 +352,14 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
         def mt_planes(o, d):
             return _mt_planes_at(col, o, d)
 
-        def sweep(o, d, attr_cols, alive=None):
+        def sweep(o, d, attr_cols, alive=None, t_init=None):
             """Nearest hit + winner attributes.
 
             Returns (t [1,RB], hit [1,RB] bool, u, v, {col: [1,RB]}).
             `alive` is advisory (work-skipping only) — a single-slice
             sweep has no control flow to save, so it is ignored here.
+            t_init: optional scalar cap — hits at t >= t_init are
+            reported as misses (NEE's segment-bounded shadow walks).
 
             The resident (single-slice) sweep keeps VPU select-reduce
             picks: measured on cornell (T_pad 40), the one-hot MXU
@@ -365,8 +367,9 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
             (47.3 -> 44.6 M rays/s); the chunked sweep below uses it.
             """
             del alive
+            cap = _BIG if t_init is None else np.float32(t_init)
             t_min, u, v, got = _slice_sweep(col, o, d, attr_cols)
-            return t_min, t_min < _BIG, u, v, got
+            return t_min, t_min < cap, u, v, got
 
         def any_hit(o, d, alive=None):
             del alive
@@ -395,8 +398,9 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
                            jnp.maximum(tz0, tz1))
         return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
 
-    def sweep(o, d, attr_cols, alive=None):
+    def sweep(o, d, attr_cols, alive=None, t_init=None):
         attr_cols = tuple(attr_cols)
+        cap = _BIG if t_init is None else np.float32(t_init)
         shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
         zero = jnp.zeros(shape, jnp.float32)
 
@@ -429,10 +433,10 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
                 jnp.any(_box_reachable(k, o, d, t_gate)),
                 do_sweep, lambda c: c, carry)
 
-        init = (jnp.full(shape, _BIG), zero, zero,
+        init = (jnp.full(shape, cap), zero, zero,
                 tuple(zero for _ in attr_cols))
         t_b, u_b, v_b, got_b = jax.lax.fori_loop(0, n_chunks, body, init)
-        return (t_b, t_b < _BIG, u_b, v_b,
+        return (t_b, t_b < cap, u_b, v_b,
                 dict(zip(attr_cols, got_b)))
 
     def any_hit(o, d, alive=None):
@@ -505,6 +509,9 @@ def _make_primary(cam, seed, pix, W, H):
         return ox, oy, oz, dx, dy, dz
 
     return primary
+
+
+NEE_T_CAP = np.float32(1.05)   # shadow-segment cap (see sweep call below)
 
 
 def _make_nee(sweep, emitter, seed, pix, light_samples):
@@ -586,11 +593,16 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         tz_ = lv0z + a * le1z + b * le2z
 
         sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
+        # the sampled point sits at t == 1 of the UNNORMALIZED shadow
+        # direction, so the walk's live segment is capped at 1 + eps:
+        # subtrees past the light never open. Semantics-preserving — a
+        # nearest hit beyond the cap could only be "visible" if the ray
+        # grazed THROUGH its own sample point (fp measure zero)
         st, s_hit, su, sv, s_got = sweep(
             (sox, soy, soz), (sdx, sdy, sdz),
             tuple(range(_C_N0, _C_N0 + 9))
             + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH),
-            alive=hit)
+            alive=hit, t_init=NEE_T_CAP)
         visible = (s_hit & hit
                    & (s_got[_C_MESH] == np.float32(em_mesh)))
         lnx, lny, lnz = _interp_n(su, sv, s_got,
