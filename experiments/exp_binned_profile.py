@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orion_tpu.camera import camera_from_rtc
 from orion_tpu.ops import pallas_binned as pb
 from orion_tpu.ops.pallas_fused import _BIG
 from orion_tpu.scene import load_scene, subdivide_scene
@@ -29,14 +28,20 @@ def main():
         N = orig.shape[0]
         o = tuple(orig[:, i][None] for i in range(3))
         dd = tuple(dirs[:, i][None] for i in range(3))
-        sweep = pb.make_binned_sweep(bins, tab, n_rays=N, ray_block=512,
-                                     interpret=False)
+        n_pad = ((N + 511) // 512) * 512
+        call = pb.build_bin_round_call(bins.k, n_pad, 512, False)
+        consts = pb.binned_consts(bins, tab)
 
-        fn = jax.jit(lambda o, dd, a: sweep(o, dd, (22,), alive=a)[0])
-        out = jax.block_until_ready(fn(o, dd, alive[None]))
+        @jax.jit
+        def fn(o, dd, a, consts):
+            sweep = pb.binned_sweep_from(consts, k=bins.k, n_rays=N,
+                                         call=call, ray_block=512)
+            return sweep(o, dd, (22,), alive=a)[0]
+
+        out = jax.block_until_ready(fn(o, dd, alive[None], consts))
         t0 = time.perf_counter()
         for _ in range(5):
-            out = fn(o, dd, alive[None])
+            out = fn(o, dd, alive[None], consts)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 5
         nl = int(alive.sum())

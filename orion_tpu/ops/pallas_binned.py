@@ -199,7 +199,13 @@ def build_bin_round_call(K: int, n_pad: int, ray_block: int,
 
 def _bin_entries(o, d, lo, hi):
     """Slab entry t of [N] component rays vs [K, 3] boxes -> [N, K]
-    (+inf on miss). Same arithmetic shape as the walk's _slab."""
+    (+inf on miss). Same arithmetic shape as the walk's _slab —
+    DELIBERATELY including its unguarded divide: a lane with d[a] == 0
+    whose origin sits exactly on a bin boundary yields 0*inf = NaN and
+    skips that bin, exactly as pallas_bvh_path._slab would skip the
+    same node. Keeping the two backends bit-consistent outweighs the
+    measure-zero loss (the host model in exp_bin_sim guards with 1e-30
+    and may disagree there; accepted, documented per ADVICE r3)."""
     entries = []
     tn = None
     tf = None
@@ -358,6 +364,15 @@ def binned_device_data(scene: Scene, *, strategy: str = SAH,
                        np.asarray(scene.tri_valid), strategy=strategy,
                        leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH)
     tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
+    # winner rows ride the kernel as f32 with sentinel _NO_ROW = 2^22:
+    # beyond that, real rows would collide with the sentinel in
+    # tie-breaks (and past 2^24 the f32 encoding itself goes inexact,
+    # silently gathering wrong attribute rows). Fail loudly instead.
+    if tab.shape[1] >= int(_NO_ROW):
+        raise ValueError(
+            f"bundled table has {tab.shape[1]} rows >= the f32 winner-row "
+            f"sentinel {int(_NO_ROW)}; the binned backend cannot encode "
+            "winners for a scene this large — use the treelet walk")
     return make_bins(bvh, max_rows), tab, bvh
 
 
