@@ -92,20 +92,18 @@ def _maybe_fused(ps, args, max_depth):
                 ps.scene, ps.camera, samples=args.samples,
                 max_depth=max_depth,
                 light_samples=args.light_samples), "fused-pallas"
-        from orion_tpu.ops.pallas_bvh_path import (bvh_path_supported,
-                                                   make_bvh_path_renderer)
+        from orion_tpu.engine import make_big_path_renderer
 
-        if bvh_path_supported(ps.scene):
-            # past the brute gate: path tracing over a resident BVH
-            try:
-                return make_bvh_path_renderer(
-                    ps.scene, ps.camera, samples=args.samples,
-                    max_depth=max_depth,
-                    light_samples=args.light_samples,
-                    strategy=args.strategy,
-                    order_signs=ps.order_signs), "bvh-path-pallas"
-            except ValueError:
-                pass  # over the residency cap: wavefront it is
+        try:
+            # past the brute gate: best big-scene path megakernel
+            # (sorted-wavefront bounce kernel first, resident walk as
+            # fallback — engine.BIG_PATH_ORDER)
+            return make_big_path_renderer(
+                ps.scene, ps.camera, samples=args.samples,
+                max_depth=max_depth, light_samples=args.light_samples,
+                strategy=args.strategy, order_signs=ps.order_signs)
+        except ValueError:
+            pass  # outside every gate / over the cap: wavefront it is
     else:
         from orion_tpu.ops.pallas_whitted import (
             fused_whitted_supported, make_fused_whitted_renderer)

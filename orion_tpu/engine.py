@@ -120,6 +120,69 @@ def select_intersect(scene: Scene, *, strategy: str = SAH,
     return make_bvh_intersect(bvh), "bvh-jnp", bvh, stats
 
 
+# Megakernel preference for path scenes past the fused brute gate,
+# best-first (measured on the 35k-tri subdivided cornell, 256^2 16 spp —
+# BENCHMARKS.md): the sorted-wavefront bounce kernel beats the resident
+# walk ~3x on enclosed scenes (bounce-ray divergence is the walk's worst
+# case); the walk stays as fallback. "binned" (ops/pallas_binned.py)
+# joins the list ahead of whichever it beats once its end-to-end TPU
+# number lands.
+BIG_PATH_ORDER = ("bounce", "walk")
+
+
+def make_big_path_renderer(scene: Scene, camera, *, samples: int,
+                           max_depth: int, light_samples: int = 2,
+                           strategy: str = SAH,
+                           order_signs=(1.0, 1.0, 1.0),
+                           order: tuple = None):
+    """Best available path megakernel for scenes past the fused brute
+    gate: returns (fn(key) -> [H, W, 3], backend_name).
+
+    Candidates (BIG_PATH_ORDER, best-first) are tried in turn; a
+    candidate that raises ValueError (over the VMEM residency cap,
+    outside its gate) falls through to the next. Raises ValueError when
+    none fits — callers fall back to the treelet wavefront.
+
+    This is the selection point the reference never needs: its traversal
+    IS production (/root/reference/orion/avx/sbvh.cpp:26-83); here the
+    best backend depends on scene scale and bounce coherence.
+    """
+    from orion_tpu.ops.pallas_bvh_path import bvh_path_supported
+
+    if not bvh_path_supported(scene):
+        raise ValueError("scene outside the bvh-path gate "
+                         "(textures / emitters)")
+    errs = []
+    for cand in (order or BIG_PATH_ORDER):
+        try:
+            if cand == "bounce":
+                from orion_tpu.ops.pallas_bounce import \
+                    make_bounce_path_renderer
+
+                return make_bounce_path_renderer(
+                    scene, camera, samples=samples, max_depth=max_depth,
+                    light_samples=light_samples), "bounce-pallas"
+            if cand == "binned":
+                from orion_tpu.ops.pallas_binned import \
+                    make_binned_path_renderer
+
+                return make_binned_path_renderer(
+                    scene, camera, samples=samples, max_depth=max_depth,
+                    light_samples=light_samples), "binned-pallas"
+            if cand == "walk":
+                from orion_tpu.ops.pallas_bvh_path import \
+                    make_bvh_path_renderer
+
+                return make_bvh_path_renderer(
+                    scene, camera, samples=samples, max_depth=max_depth,
+                    light_samples=light_samples, strategy=strategy,
+                    order_signs=order_signs), "bvh-path-pallas"
+            raise ValueError(f"unknown big-path candidate {cand!r}")
+        except ValueError as e:
+            errs.append(f"{cand}: {e}")
+    raise ValueError("no big-path megakernel fits: " + "; ".join(errs))
+
+
 # partition headroom: bundled rows inflate ~1.5x over triangle count at
 # leaf 128 (padding); 1.8 keeps every part under the cap with margin
 TREELET_MARGIN = 1.8

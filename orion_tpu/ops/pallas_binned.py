@@ -387,8 +387,9 @@ def make_binned_path_renderer(scene: Scene, camera, *, samples: int,
     depth, same NEE/RR/bounce math via the shared _make_bounce_step), so
     images bit-match the sorted-wavefront kernel and the jnp replica up
     to nearest-hit ties."""
-    from orion_tpu.ops.pallas_bounce import _make_bounce_step
-    from orion_tpu.ops.pallas_fused import _pcg4d, _u01, camera_vec
+    from orion_tpu.ops.pallas_bounce import (_make_bounce_step,
+                                             wavefront_rays)
+    from orion_tpu.ops.pallas_fused import camera_vec
 
     if not bvh_path_supported(scene):
         raise ValueError("scene outside the bvh-path gate "
@@ -413,26 +414,10 @@ def make_binned_path_renderer(scene: Scene, camera, *, samples: int,
         sweep = binned_sweep_from(consts, k=bins.k, n_rays=N, call=call,
                                   ray_block=ray_block)
         seed = seed_arr[0]
-        pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)[None]
-        samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32),
-                          n_pix)[None]
-        jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
-                                jnp.full_like(samp, 0x4A17),
-                                jnp.full_like(samp, 0x7E57))
-        jx = _u01(jb0) * np.float32(2.0 / W)
-        jy = _u01(jb1) * np.float32(2.0 / H)
-        pf = pix.astype(jnp.float32)
-        i = jnp.floor((pf + 0.5) * np.float32(1.0 / W))
-        j = pf - i * np.float32(W)
-        x = 2.0 * (j * np.float32(1.0 / W)) - 1.0 + jx
-        y = -(2.0 * (i * np.float32(1.0 / H)) - 1.0 + jy)
-        o = tuple(jnp.broadcast_to(cam_v[c], x.shape) for c in range(3))
-        d = (cam_v[3] + x * cam_v[6] + y * cam_v[9],
-             cam_v[4] + x * cam_v[7] + y * cam_v[10],
-             cam_v[5] + x * cam_v[8] + y * cam_v[11])
-        thr = tuple(jnp.ones_like(x) for _ in range(3))
-        alive = jnp.ones(x.shape, bool)
-        acc = [jnp.zeros_like(x) for _ in range(3)]
+        pix, samp, o, d = wavefront_rays(seed, cam_v, W, H, samples)
+        thr = tuple(jnp.ones_like(o[0]) for _ in range(3))
+        alive = jnp.ones(o[0].shape, bool)
+        acc = [jnp.zeros_like(o[0]) for _ in range(3)]
 
         step = _make_bounce_step(sweep, emitter, seed, light_samples,
                                  max_depth)

@@ -67,6 +67,34 @@ MORTON_BITS = 6
 _DEAD_KEY = np.int32(1 << (3 * MORTON_BITS + 3))
 
 
+def wavefront_rays(seed, cam_v, W: int, H: int, samples: int):
+    """Primary wavefront as [1, N] component planes, N = W*H*samples:
+    (pix, samp, o3, d3) — the megakernel's own camera + shared-jitter
+    streams (pallas_fused._make_primary math, evaluated in jnp). Shared
+    by the bounce/binned renderers and the wavefront PRB trainer so all
+    three trace IDENTICAL paths."""
+    from orion_tpu.ops.pallas_fused import _pcg4d, _u01
+
+    n_pix = W * H
+    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)[None]
+    samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32), n_pix)[None]
+    jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
+                            jnp.full_like(samp, 0x4A17),
+                            jnp.full_like(samp, 0x7E57))
+    jx = _u01(jb0) * np.float32(2.0 / W)
+    jy = _u01(jb1) * np.float32(2.0 / H)
+    pf = pix.astype(jnp.float32)
+    i = jnp.floor((pf + 0.5) * np.float32(1.0 / W))
+    j = pf - i * np.float32(W)
+    x = 2.0 * (j * np.float32(1.0 / W)) - 1.0 + jx
+    y = -(2.0 * (i * np.float32(1.0 / H)) - 1.0 + jy)
+    o = tuple(jnp.broadcast_to(cam_v[c], x.shape) for c in range(3))
+    d = (cam_v[3] + x * cam_v[6] + y * cam_v[9],
+         cam_v[4] + x * cam_v[7] + y * cam_v[10],
+         cam_v[5] + x * cam_v[8] + y * cam_v[11])
+    return pix, samp, o, d
+
+
 def _make_bounce_step(sweep, emitter, seed, light_samples: int,
                       max_depth: int):
     """One path bounce over component planes; array-library agnostic
@@ -362,28 +390,10 @@ def bounce_reference_render(scene: Scene, camera, key, *, samples: int,
     step = _make_bounce_step(sweep, emitter, seed, light_samples,
                              max_depth)
 
-    from orion_tpu.ops.pallas_fused import _pcg4d, _u01
-    pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)[None]
-    samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32), n_pix)[None]
-    jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
-                            jnp.full_like(samp, 0x4A17),
-                            jnp.full_like(samp, 0x7E57))
-    jx = _u01(jb0) * np.float32(2.0 / W)
-    jy = _u01(jb1) * np.float32(2.0 / H)
-    pf = pix.astype(jnp.float32)
-    i = jnp.floor((pf + 0.5) * np.float32(1.0 / W))
-    j = pf - i * np.float32(W)
-    x = 2.0 * (j * np.float32(1.0 / W)) - 1.0 + jx
-    y = -(2.0 * (i * np.float32(1.0 / H)) - 1.0 + jy)
-    o = (jnp.broadcast_to(cam_v[0], x.shape),
-         jnp.broadcast_to(cam_v[1], x.shape),
-         jnp.broadcast_to(cam_v[2], x.shape))
-    d = (cam_v[3] + x * cam_v[6] + y * cam_v[9],
-         cam_v[4] + x * cam_v[7] + y * cam_v[10],
-         cam_v[5] + x * cam_v[8] + y * cam_v[11])
-    thr = tuple(jnp.ones_like(x) for _ in range(3))
-    alive = jnp.ones(x.shape, bool)
-    acc = [jnp.zeros_like(x) for _ in range(3)]
+    pix, samp, o, d = wavefront_rays(seed, cam_v, W, H, samples)
+    thr = tuple(jnp.ones_like(o[0]) for _ in range(3))
+    alive = jnp.ones(o[0].shape, bool)
+    acc = [jnp.zeros_like(o[0]) for _ in range(3)]
 
     def body(carry, depth):
         o, d, thr, alive, acc = carry

@@ -57,22 +57,13 @@ def bvh_train_supported(scene: Scene, samples: int = 1) -> bool:
             and samples <= MAX_SAMPLES and scene.num_emissive == 1)
 
 
-def make_bvh_tab_updater(scene: Scene, *, strategy: str = SAH,
-                         order_signs=(1.0, 1.0, 1.0),
-                         check_cap: bool = True):
-    """(node_scalars, num_nodes, update) where update(scene') -> tab
-    rebuilds ONLY the material-dependent rows (kd, ke, p_continue) of the
-    bundled attribute table in-graph — differentiable w.r.t.
-    scene'.mat_diffuse / scene'.mat_emissive, geometry rows baked."""
-    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
-                       np.asarray(scene.tri_e2),
-                       np.asarray(scene.tri_valid), strategy=strategy,
-                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
-                       order_signs=order_signs)
-    if check_cap and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
-        raise ValueError(
-            f"{bvh.num_bundled} bundled rows exceed the path attr-table "
-            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+def tab_updater_from_bvh(bvh, scene: Scene):
+    """update(scene') -> tab for an ALREADY-BUILT tree: rebuilds ONLY the
+    material-dependent rows (kd, ke) of the bundled attribute table
+    in-graph — differentiable w.r.t. scene'.mat_diffuse /
+    scene'.mat_emissive, geometry rows baked. Shared by the resident-walk
+    trainer below and the wavefront PRB trainer (ops/prb_wavefront.py),
+    which reuses the binned backend's tree."""
     base = jnp.asarray(pack_bvh_path_table(bvh, scene))
     B_pad = base.shape[1]
     T = int(scene.num_triangles)
@@ -92,6 +83,25 @@ def make_bvh_tab_updater(scene: Scene, *, strategy: str = SAH,
         tab = tab.at[_C_KD:_C_KD + 3, :].set(kd.T)
         tab = tab.at[_C_KE:_C_KE + 3, :].set(ke.T)
         return tab
+
+    return update
+
+
+def make_bvh_tab_updater(scene: Scene, *, strategy: str = SAH,
+                         order_signs=(1.0, 1.0, 1.0),
+                         check_cap: bool = True):
+    """(node_scalars, num_nodes, update): builds the tree, then
+    tab_updater_from_bvh for the in-graph material-row updates."""
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=strategy,
+                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       order_signs=order_signs)
+    if check_cap and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
+        raise ValueError(
+            f"{bvh.num_bundled} bundled rows exceed the path attr-table "
+            f"residency cap ({RESIDENT_MAX_BUNDLED})")
+    update = tab_updater_from_bvh(bvh, scene)
 
     node_scalars = tuple(
         [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]

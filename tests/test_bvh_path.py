@@ -87,21 +87,23 @@ def test_matches_fused_replica_subdivided(cornell):
     np.testing.assert_allclose(img, ref, rtol=1e-6, atol=1e-7)
 
 
-def test_cli_routes_past_fused_gate_to_bvh_path(monkeypatch, tmp_path):
-    """A path scene beyond FUSED_MAX_TRIS must route to the BVH path
-    megakernel, not fall all the way to the wavefront."""
+def test_cli_routes_past_fused_gate_to_big_path(monkeypatch, tmp_path):
+    """A path scene beyond FUSED_MAX_TRIS must route to the best
+    big-scene megakernel (engine.BIG_PATH_ORDER — the sorted-wavefront
+    bounce kernel since round 4), not fall to the wavefront."""
     import argparse
 
     import orion_tpu.ops.pallas_fused as pf
     from orion_tpu.cli import _maybe_fused
-    from orion_tpu.engine import prepare
+    from orion_tpu.engine import BIG_PATH_ORDER, prepare
 
     monkeypatch.setattr(pf, "FUSED_MAX_TRIS", 16)  # cornell (36) > gate
     ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=16, yres=16)
     args = argparse.Namespace(backend=None, normal_maps=False, mode=None,
                               samples=1, light_samples=1, strategy="sah")
     fn, name = _maybe_fused(ps, args, max_depth=1)
-    assert name == "bvh-path-pallas"
+    assert name == {"bounce": "bounce-pallas", "binned": "binned-pallas",
+                    "walk": "bvh-path-pallas"}[BIG_PATH_ORDER[0]]
     img = np.asarray(fn(jax.random.key(0)))
     assert img.shape == (16, 16, 3) and np.isfinite(img).all()
 

@@ -355,3 +355,78 @@ def test_validation_rejects_empty_scene(tmp_path):
     rtc.write_text("empty.obj\nnone.png\n2\n8 8\n0 0 1\n0 0 0\n0 1 0\n1\n")
     with pytest.raises((SceneValidationError, ValueError)):
         prepare(rtc)
+
+
+def test_big_path_renderer_prefers_bounce(assets_dir):
+    """engine.make_big_path_renderer selects the sorted-wavefront bounce
+    kernel first (BIG_PATH_ORDER) and its image matches the walk
+    megakernel's estimator bit-for-bit up to nearest-hit ties."""
+    import jax
+    import numpy as np
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.engine import make_big_path_renderer
+    from orion_tpu.scene import load_scene
+
+    scene, rtc = load_scene(assets_dir / "cornell-box.rtc")
+    rtc.xres = rtc.yres = 16
+    cam = camera_from_rtc(rtc)
+    fn, name = make_big_path_renderer(scene, cam, samples=2, max_depth=2,
+                                      light_samples=2)
+    assert name == "bounce-pallas"
+    img = np.asarray(fn(jax.random.key(0)))
+    assert np.isfinite(img).all() and img.max() > 0
+
+    fn_w, name_w = make_big_path_renderer(scene, cam, samples=2,
+                                          max_depth=2, light_samples=2,
+                                          order=("walk",))
+    assert name_w == "bvh-path-pallas"
+    img_w = np.asarray(fn_w(jax.random.key(0)))
+    np.testing.assert_allclose(img, img_w, rtol=1e-5, atol=1e-6)
+
+
+def test_big_path_renderer_falls_through(assets_dir, monkeypatch):
+    """A candidate that raises ValueError falls through to the next."""
+    import orion_tpu.ops.pallas_bounce as pb
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.engine import make_big_path_renderer
+    from orion_tpu.scene import load_scene
+
+    def boom(*a, **k):
+        raise ValueError("synthetic residency-cap failure")
+
+    monkeypatch.setattr(pb, "make_bounce_path_renderer", boom)
+    scene, rtc = load_scene(assets_dir / "cornell-box.rtc")
+    rtc.xres = rtc.yres = 8
+    cam = camera_from_rtc(rtc)
+    _, name = make_big_path_renderer(scene, cam, samples=1, max_depth=1)
+    assert name == "bvh-path-pallas"
+
+
+def test_cli_routes_big_path_to_bounce(assets_dir, tmp_path, monkeypatch):
+    """`python -m orion_tpu.cli` on a path scene past the fused gate hits
+    the bounce backend (VERDICT r3 next #3). The gate is shrunk so the
+    40-tri cornell exercises the big-scene branch at test speed."""
+    import orion_tpu.ops.pallas_fused as pf
+    from orion_tpu.cli import main
+
+    monkeypatch.setattr(pf, "FUSED_MAX_TRIS", 8)
+    out = tmp_path / "out.png"
+    rc = main([str(assets_dir / "cornell-box.rtc"), "-o", str(out),
+               "-p", "2", "--xres", "16", "--yres", "16", "--depth", "2",
+               "--stats"])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_cli_big_path_backend_name(assets_dir, tmp_path, monkeypatch,
+                                   capsys):
+    import orion_tpu.ops.pallas_fused as pf
+    from orion_tpu.cli import main
+
+    monkeypatch.setattr(pf, "FUSED_MAX_TRIS", 8)
+    out = tmp_path / "out.png"
+    rc = main([str(assets_dir / "cornell-box.rtc"), "-o", str(out),
+               "-p", "1", "--xres", "8", "--yres", "8", "--depth", "1"])
+    assert rc == 0
+    assert "bounce-pallas" in capsys.readouterr().out
