@@ -35,8 +35,17 @@ def init_distributed(coordinator_address: Optional[str] = None,
     With no arguments, relies on jax.distributed's environment
     auto-detection (TPU pod metadata, SLURM, GKE). Returns a summary of
     the resulting topology.
+
+    NOTE: must run before anything touches the XLA backend — including
+    jax.process_count()/jax.devices(). The already-initialized check
+    therefore reads the distributed client state, not the backend.
     """
-    already = jax.process_count() > 1
+    try:
+        from jax._src import distributed as _dist
+
+        already = _dist.global_state.client is not None
+    except Exception:  # private-API drift: assume not initialized
+        already = False
     if not already and (coordinator_address or num_processes):
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
@@ -52,6 +61,74 @@ def init_distributed(coordinator_address: Optional[str] = None,
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def render_multihost(scene, camera, key, *, samples: int,
+                     max_depth: int = 1, light_samples: int = 2,
+                     mode=None, intersect=None, shadow_intersect=None):
+    """Sample-parallel multi-host render: process i renders the sample
+    range [i*S/P, (i+1)*S/P) locally (render()'s sample_offset keeps the
+    per-sample RNG streams identical to a single-process [0, S) render),
+    then ONE cross-process all-gather merges the partial accumulations.
+    The result matches the single-process image to float summation
+    tolerance on every host.
+
+    This is the tile decomposition of the reference's OpenMP pixel loop
+    (raytracer.cpp:69-88) lifted across hosts, with the one collective
+    the reference never needs. Returns a numpy [H, W, 3] image.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from orion_tpu.render import render
+
+    p, n = jax.process_index(), jax.process_count()
+    base, extra = divmod(samples, n)
+    mine = base + (1 if p < extra else 0)
+    offset = p * base + min(p, extra)
+    if mine > 0:
+        img = render(scene, camera, key, samples=mine,
+                     max_depth=max_depth, light_samples=light_samples,
+                     mode=mode, intersect=intersect,
+                     shadow_intersect=shadow_intersect,
+                     sample_offset=offset)
+        part = img * (mine / samples)
+    else:
+        H, W = camera.yres, camera.xres
+        part = jax.numpy.zeros((H, W, 3), jax.numpy.float32)
+    parts = multihost_utils.process_allgather(part)      # [P, H, W, 3]
+    return np.asarray(parts).sum(axis=0)
+
+
+def measure_collective_bytes(jitted_fn, *args, **kwargs) -> dict:
+    """Lower + compile a jitted function and report the bytes its
+    cross-device collectives move per call, by walking the optimized HLO
+    for all-reduce / all-gather / reduce-scatter / collective-permute
+    ops. Replaces BENCHMARKS.md's former asserted-not-measured figure."""
+    import re
+
+    compiled = jitted_fn.lower(*args, **kwargs).compile()
+    text = compiled.as_text()
+    sizes = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
+             "collective-permute": 0}
+    count = 0
+    # e.g.  %all-reduce.1 = f32[8,128]{1,0} all-reduce(...)
+    pat = re.compile(
+        r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)\(")
+    dtype_bytes = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                   "u32": 4, "s64": 8, "u64": 8, "pred": 1, "s8": 1,
+                   "u8": 1}
+    for m in pat.finditer(text):
+        dt, shape, op = m.groups()
+        n = 1
+        for d in shape.split(","):
+            if d:
+                n *= int(d)
+        sizes[op] += n * dtype_bytes.get(dt, 4)
+        count += 1
+    total = sum(sizes.values())
+    return {"ops": count, "bytes_per_call": total, "by_kind": sizes}
 
 
 def host_tile(total_rows: int) -> tuple[int, int]:
