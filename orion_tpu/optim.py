@@ -31,10 +31,12 @@ UNIT_INTERVAL_PARAMS = ("mat_diffuse", "mat_specular", "mat_ambient")
 
 DEFAULT_PARAMS = ("mat_diffuse",)
 
-# parameters that move geometry: intersecting them against a prebuilt BVH
-# is silently wrong (the BVH backends close over a tree built from the
-# ORIGINAL vertices — ops/bvh_traverse.py / ops/pallas_bvh.py ignore the
-# scene argument — so hit ids never refresh as vertices move)
+# parameters that move geometry: intersecting them against a STATIC
+# prebuilt BVH is silently wrong (stale hit ids as vertices move). fit()
+# routes these through the refit path below — the tree's VALUES (node
+# AABBs, leaf Woop bundles) are recomputed from the current vertices
+# every step (accel/refit.py) and threaded into the jitted loss as
+# runtime arguments, so one compile serves the whole loop.
 GEOMETRY_PARAMS = ("tri_v0", "tri_e1", "tri_e2")
 
 
@@ -88,6 +90,63 @@ def make_loss(scene: Scene, camera, *, samples: int, max_depth: int,
         return jnp.mean((img - target) ** 2)
 
     return loss
+
+
+def make_refit_loss(ps, *, samples: int, max_depth: int,
+                    light_samples: int, mode: Optional[str],
+                    loss_fn: Optional[Callable] = None,
+                    remat: bool | str = "hits",
+                    ray_block: int = 256):
+    """(loss, plan) for geometry optimization on a Pallas BVH backend.
+
+    loss(params, key, target, node_scalars, tri_data) builds the
+    traversal closure from the REFITTED tree arrays passed in at call
+    time (static shapes — fixed topology), so vertex motion never
+    stales the acceleration structure and never recompiles. Gradients
+    flow through ops/intersect.py's detach-and-recompute contract: hit
+    ids come from the kernel (detached), (t, u, v) and shading recompute
+    differentiably from the live scene arrays. remat="hits" keeps the
+    backward pass from re-running the traversal kernel (measured best,
+    BENCHMARKS.md)."""
+    from orion_tpu.accel.refit import RefitPlan
+    from orion_tpu.ops.intersect import Hit
+    from orion_tpu.ops.pallas_bvh import _traverse_pallas_impl
+
+    bvh = ps.bvh
+    if bvh is None:
+        raise ValueError(
+            f"backend {ps.backend!r} carries no single refittable tree "
+            "(treelet decomposition); use force_backend='brute' or a "
+            "scene under the residency cap for geometry fits")
+    plan = RefitPlan(bvh)
+    interpret = jax.default_backend() != "tpu"
+    leaf_width, num_nodes = bvh.leaf_width, bvh.num_nodes
+    num_triangles = int(ps.scene.num_triangles)
+    tri_orig = bvh.tri_orig
+    scene = ps.scene
+
+    def loss(params, key, target, node_scalars, tri_data):
+        s = dataclasses.replace(scene, **params)
+
+        def intersect(s2, orig, dirs, *, alive=None) -> Hit:
+            t, row = _traverse_pallas_impl(
+                node_scalars, tri_data,
+                jax.lax.stop_gradient(orig), jax.lax.stop_gradient(dirs),
+                alive, leaf_width=leaf_width, num_nodes=num_nodes,
+                ray_block=ray_block, interpret=interpret)
+            tri_id = jnp.where(row >= 0, tri_orig[jnp.maximum(row, 0)], -1)
+            tri_id = jnp.where(tri_id < num_triangles, tri_id, -1)
+            return Hit(t=jnp.where(tri_id >= 0, t, jnp.inf), tri_id=tri_id)
+
+        img = render(s, ps.camera, key, samples=samples,
+                     max_depth=max_depth, light_samples=light_samples,
+                     mode=mode, intersect=intersect, prune_zero=False,
+                     remat=remat)
+        if loss_fn is not None:
+            return loss_fn(img, target)
+        return jnp.mean((img - target) ** 2)
+
+    return loss, plan
 
 
 def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
@@ -152,20 +211,21 @@ def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
     (PCG4D), so losses differ from the wavefront path at the noise level.
     """
     geom = [p for p in params if p in GEOMETRY_PARAMS]
+    refit_plan = None
+    refit_loss = None
     if geom and str(getattr(ps, "backend", "")).startswith("bvh"):
-        raise ValueError(
-            f"geometry parameters {geom} cannot be optimized against the "
-            f"prebuilt {ps.backend!r} backend (its closure intersects the "
-            f"ORIGINAL geometry; gradients would target stale hit ids). "
-            f"prepare(..., force_backend='brute') — the brute backends "
-            f"read scene.tri_* live — or rebuild the BVH per step.")
+        # moving geometry over a tree backend: refit the tree VALUES from
+        # the current vertices every step (fixed topology — one compile)
+        refit_loss, refit_plan = make_refit_loss(
+            ps, samples=samples, max_depth=max_depth,
+            light_samples=light_samples, mode=mode, loss_fn=loss_fn)
     target = jnp.asarray(target, jnp.float32)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     theta = {name: getattr(ps.scene, name) for name in params}
     opt_state = opt.init(theta)
 
     prb = None
-    if use_prb:
+    if use_prb and refit_plan is None:
         prb = _prb_loss_and_grad(ps, target, params, samples=samples,
                                  max_depth=max_depth,
                                  light_samples=light_samples, mode=mode,
@@ -173,6 +233,35 @@ def fit(ps, target, *, params: Sequence[str] = DEFAULT_PARAMS,
         if prb is None and use_prb is True:
             raise ValueError("use_prb=True but the setup is outside the "
                              "PRB gate (params/mode/loss/scene)")
+
+    if refit_plan is not None:
+        @jax.jit
+        def step_refit(theta, opt_state, key, node_scalars, tri_data):
+            l, grads = jax.value_and_grad(refit_loss)(
+                theta, key, target, node_scalars, tri_data)
+            updates, opt_state = opt.update(grads, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return _project(theta), opt_state, l
+
+        def _geo(name):
+            import numpy as np
+
+            return np.asarray(theta.get(name, getattr(ps.scene, name)))
+
+        base_key = jax.random.key(seed)
+        losses = []
+        for i in range(steps):
+            key = (jax.random.fold_in(base_key, i) if resample_keys
+                   else base_key)
+            node_scalars, tri_data = refit_plan.refit(
+                _geo("tri_v0"), _geo("tri_e1"), _geo("tri_e2"))
+            theta, opt_state, l = step_refit(theta, opt_state, key,
+                                             node_scalars, tri_data)
+            losses.append(float(l))
+            if callback is not None:
+                callback(i, losses[-1])
+        return FitResult(scene=dataclasses.replace(ps.scene, **theta),
+                        params=theta, losses=losses, steps=steps)
 
     if prb is not None:
         value_and_grad = prb

@@ -117,18 +117,28 @@ def test_checkpoint_rejects_mismatched_config(assets_dir, tmp_path):
     np.testing.assert_allclose(img, fresh, rtol=1e-6)
 
 
-def test_optim_rejects_geometry_params_on_bvh_backend(assets_dir):
-    """Geometry optimization against a prebuilt BVH closure silently
-    intersects stale geometry — fit() must refuse (ADVICE round 1)."""
+def test_optim_geometry_on_bvh_backend_refits(assets_dir):
+    """Geometry optimization on a BVH backend routes through the
+    per-step refit path (round 4; previously fit() refused) — the tree
+    VALUES track the moving vertices, so the fit runs and the loss is
+    finite. Treelet backends (no single refittable tree) still refuse."""
+    import dataclasses as _dc
+
     import pytest as _pytest
 
     from orion_tpu.optim import fit
 
     ps = prepare(assets_dir / "cornell-box.rtc", xres=8, yres=8,
-                 force_backend="bvh")
-    with _pytest.raises(ValueError, match="tri_v0"):
-        fit(ps, np.zeros((8, 8, 3), np.float32), params=("tri_v0",),
-            steps=1)
+                 force_backend="bvh-pallas")
+    res = fit(ps, np.zeros((8, 8, 3), np.float32), params=("tri_v0",),
+              steps=1, samples=1, max_depth=1)
+    assert np.isfinite(res.losses[0])
+    assert res.params["tri_v0"].shape == ps.scene.tri_v0.shape
+
+    ps_treelet = _dc.replace(ps, bvh=None)
+    with _pytest.raises(ValueError, match="refittable"):
+        fit(ps_treelet, np.zeros((8, 8, 3), np.float32),
+            params=("tri_v0",), steps=1, samples=1, max_depth=1)
 
 
 def test_forced_pallas_over_cap_uses_treelets(assets_dir):

@@ -1,0 +1,155 @@
+"""Fixed-topology BVH refit (accel/refit.py) + geometry gradients at
+scale through the refitted tree (VERDICT r3 next #5).
+
+Gradient oracle: finite differences of the SAME loss (refit included in
+the perturbed evaluations, so the FD probes exactly what the optimizer
+sees), plus the brute backend's AD gradients on identical estimator
+configs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orion_tpu.accel.bvh import SAH, build_bvh
+from orion_tpu.accel.refit import RefitPlan
+from orion_tpu.engine import prepare
+from orion_tpu.optim import make_refit_loss
+from orion_tpu.scene import load_scene, subdivide_scene
+
+ASSETS = "/root/reference/assets"
+
+
+def _build(scene, **kw):
+    return build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
+                     np.asarray(scene.tri_e2),
+                     np.asarray(scene.tri_valid), strategy=SAH,
+                     leaf_size=128, leaf_width=128, **kw)
+
+
+def test_refit_reproduces_build():
+    """refit at the build vertices == the built tree's values."""
+    scene, _ = load_scene(f"{ASSETS}/cornell-box.rtc")
+    scene = subdivide_scene(scene, levels=2)
+    bvh, _ = _build(scene)
+    plan = RefitPlan(bvh)
+    node_scalars, tri_data = plan.refit(scene.tri_v0, scene.tri_e1,
+                                        scene.tri_e2)
+    lo = np.stack([np.asarray(node_scalars[i]) for i in range(3)], axis=1)
+    hi = np.stack([np.asarray(node_scalars[3 + i]) for i in range(3)],
+                  axis=1)
+    np.testing.assert_allclose(lo, np.asarray(bvh.node_lo), rtol=1e-6)
+    np.testing.assert_allclose(hi, np.asarray(bvh.node_hi), rtol=1e-6)
+    from orion_tpu.ops.pallas_bvh import pack_tri_comps16
+
+    ref = pack_tri_comps16(np.asarray(bvh.tri_v0),
+                           np.asarray(bvh.tri_e1),
+                           np.asarray(bvh.tri_e2))
+    np.testing.assert_array_equal(np.asarray(tri_data), np.asarray(ref))
+
+
+def test_refit_tracks_moved_vertices():
+    """Moving a vertex grows exactly the enclosing nodes' boxes."""
+    scene, _ = load_scene(f"{ASSETS}/cornell-box.rtc")
+    bvh, _ = _build(scene)
+    plan = RefitPlan(bvh)
+    v0 = np.asarray(scene.tri_v0).copy()
+    v0[0] += np.array([0.0, 5.0, 0.0])
+    node_scalars, _ = plan.refit(v0, scene.tri_e1, scene.tri_e2)
+    hi_y = np.asarray(node_scalars[4])
+    # the root must now bound the moved vertex (and have grown)
+    assert hi_y[0] >= v0[0, 1]
+    assert hi_y[0] > np.asarray(bvh.node_hi)[0, 1]
+
+
+def _loss_parts(res=8, levels=2, samples=1, depth=1):
+    ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=res, yres=res,
+                 force_backend="bvh-pallas")
+    scene = subdivide_scene(ps.scene, levels=levels)
+    from orion_tpu.engine import select_intersect
+
+    fn, backend, bvh, _ = select_intersect(scene, force="bvh-pallas")
+    ps = dataclasses.replace(ps, scene=scene, intersect=fn,
+                             backend=backend, bvh=bvh)
+    loss, plan = make_refit_loss(ps, samples=samples, max_depth=depth,
+                                 light_samples=1, mode="path")
+    target = jnp.zeros((res, res, 3), jnp.float32)
+    key = jax.random.key(3)
+    return ps, loss, plan, target, key
+
+
+def test_geometry_grads_match_finite_differences():
+    ps, loss, plan, target, key = _loss_parts(levels=2)  # 576-tri tree
+    scene = ps.scene
+
+    def full(params):
+        ns, td = plan.refit(np.asarray(params["tri_v0"]), scene.tri_e1,
+                            scene.tri_e2)
+        return loss(params, key, target, ns, td)
+
+    p0 = {"tri_v0": scene.tri_v0}
+    ns, td = plan.refit(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    g = jax.grad(lambda p: loss(p, key, target, ns, td))(p0)["tri_v0"]
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0, "geometry gradient is identically zero"
+
+    # FD probe on the largest-gradient coordinates (the refit runs inside
+    # the perturbed evaluations — probing exactly the optimizer's loss)
+    flat = np.abs(g).ravel()
+    idxs = np.argsort(flat)[-3:]
+    eps = 3e-3
+    v0 = np.asarray(scene.tri_v0)
+    for idx in idxs:
+        t, c = divmod(int(idx), 3)
+        vp = v0.copy()
+        vp[t, c] += eps
+        vm = v0.copy()
+        vm[t, c] -= eps
+        fp = float(full({"tri_v0": jnp.asarray(vp)}))
+        fm = float(full({"tri_v0": jnp.asarray(vm)}))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(fd - g[t, c]) <= 0.12 * max(abs(fd), abs(g[t, c])), \
+            (t, c, fd, g[t, c])
+
+
+def test_vertex_fit_converges_on_bvh_backend():
+    """Vertex recovery through the refitted tree: drop the emissive
+    light quad by 0.25 and fit tri_v0 back. Light translation has
+    smooth interior gradient signal (NEE falloff + cosine terms flow
+    through the emitter vertices), unlike random-noise perturbations,
+    whose loss is silhouette-dominated — silhouette terms are invisible
+    to detached-hit-id gradients by design (PARITY.md)."""
+    from orion_tpu.optim import fit
+    from orion_tpu.render import render
+
+    res = 12
+    ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=res, yres=res,
+                 force_backend="bvh-pallas")
+    key = jax.random.key(0)
+    target = render(ps.scene, ps.camera, key, samples=2, max_depth=1,
+                    light_samples=1, mode="path", intersect=ps.intersect)
+
+    scene = ps.scene
+    em = int(np.asarray(scene.emissive_mesh_ids)[0])
+    s0 = int(np.asarray(scene.mesh_tri_start)[em])
+    c0 = int(np.asarray(scene.mesh_tri_count)[em])
+    v0 = np.asarray(scene.tri_v0).copy()
+    v0[s0:s0 + c0, 1] -= 0.25
+    ps_p = dataclasses.replace(
+        ps, scene=dataclasses.replace(scene, tri_v0=jnp.asarray(v0)))
+
+    # seed=0 + resample_keys=False: the fit draws the SAME paths as the
+    # target render — deterministic objective, optimum at the truth
+    res_fit = fit(ps_p, target, params=("tri_v0",), steps=60,
+                  learning_rate=7e-3, samples=2, max_depth=1,
+                  light_samples=1, mode="path", seed=0,
+                  resample_keys=False)
+    residual = float(
+        np.asarray(res_fit.params["tri_v0"])[s0:s0 + c0, 1].mean()
+        - np.asarray(scene.tri_v0)[s0:s0 + c0, 1].mean())
+    assert abs(residual) < 0.05, residual       # 80%+ of 0.25 recovered
+    assert min(res_fit.losses) < 0.6 * res_fit.losses[0]
