@@ -18,12 +18,14 @@ ASSETS = "/root/reference/assets"
 
 
 def timeit(fn, *args, iters=3):
+    # axon-tunnel timing rule: block_until_ready does not force
+    # execution; dispatch N calls and fetch ONE value at the end
     out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters, out
 
 

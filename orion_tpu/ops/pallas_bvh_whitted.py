@@ -597,31 +597,42 @@ def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
 # chip absorbs in milliseconds, vs. the wavefront's per-(sample,bounce)
 # state round-trips.
 #
-# Scope: max_depth == 0 only. The mirror continuation multiplies the
-# throughput by ks(uv) (raytracer.cpp:203-206), which would need the
-# texture INSIDE the kernel; nanosuit.rtc's own recursion level is 0
-# (the reference's traceRTC caps trace() there, raytracer.cpp:29,203-206),
-# so the deferred kernel covers the reference's entire textured benchmark
-# surface. Deeper textured scenes render through the wavefront.
+# Scope: any depth up to MAX_DEFERRED_DEPTH. The mirror continuation
+# multiplies the throughput by ks(uv) (raytracer.cpp:203-206) — a texel
+# the kernel never sees. The trick: the Whitted recursion expands to
+#   total = sum_d (prod_{j<d} ks_j(uv_j)) * local_d(uv_d)
+# so the kernel records per (sample, bounce) the texture-INDEPENDENT
+# shading factors (uv, mat, ambient+emissive term, diffuse and specular
+# light sums) and the epilogue folds the chain back-to-front with the
+# resolved texels: contrib_d = local_d + ks_d * contrib_{d+1}. Round 3
+# shipped depth 0 only; this is round-4 VERDICT item #7.
 # --------------------------------------------------------------------------
 
-# record rows per sample: uvx, uvy, mat, Cd rgb, Cs rgb (+ 7 pad rows so
-# the dynamic store offset stays 8-aligned for f32 sublane tiling)
+# record rows per (sample, bounce): uvx, uvy, mat, amb+emissive rgb,
+# Cd rgb, Cs rgb (+ 4 pad rows so the dynamic store offset stays
+# 8-aligned for f32 sublane tiling)
 _REC_ROWS = 16
+MAX_DEFERRED_DEPTH = 4
+# records resident per launch (VMEM block + HBM buffer bound): chunk the
+# sample loop so sample_chunk * (depth+1) record groups stay <= this
+MAX_REC_GROUPS = 64
 
 
 def bvh_whitted_deferred_supported(scene: Scene, max_depth: int) -> bool:
-    """Gate: Whitted scene with few lights, depth-0 recursion (textures
-    allowed — that is the point)."""
-    return max_depth == 0 and 1 <= int(scene.num_lights) <= MAX_LIGHTS
+    """Gate: Whitted scene with few lights, recursion within the
+    deferred chain depth (textures allowed — that is the point)."""
+    return (max_depth <= MAX_DEFERRED_DEPTH
+            and 1 <= int(scene.num_lights) <= MAX_LIGHTS)
 
 
-def _make_deferred_kernel(M, W, H, samples, lights, n_pix,
-                          with_emissive):
+def _make_deferred_kernel(M, W, H, sample_chunk, max_depth, lights,
+                          n_pix, with_emissive):
     n_lights, l_pos, l_color, l_inten = lights
+    D1 = max_depth + 1
 
-    def kernel(cam_ref, seed_ref, base_ref, n_lox, n_loy, n_loz,
-               n_hix, n_hiy, n_hiz, n_skip, n_start, tab_ref, out_ref):
+    def kernel(cam_ref, seed_ref, base_ref, samp_base_ref, n_lox, n_loy,
+               n_loz, n_hix, n_hiy, n_hiz, n_skip, n_start, tab_ref,
+               out_ref):
         rb = out_ref.shape[1]
         seed = seed_ref[0]
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
@@ -642,71 +653,97 @@ def _make_deferred_kernel(M, W, H, samples, lights, n_pix,
         primary = _make_primary(cam, seed, pix, W, H)
         zeros = jnp.zeros((1, rb), jnp.float32)
 
-        def body(s, acc):
-            ar, ag, ab = acc
-            # depth 0: every lane is on sample s — lockstep regeneration,
-            # so the record row offset is the SCALAR loop index
-            samp = jnp.zeros((1, rb), jnp.int32) + s
+        def body(s, _):
+            # lockstep: every lane is on (local) sample s; RNG streams
+            # key on the GLOBAL sample index so chunked launches compose
+            samp = jnp.zeros((1, rb), jnp.int32) + (s + samp_base_ref[0])
             ox, oy, oz, dx, dy, dz = primary(samp)
-            t, hit, picks = closest((ox, oy, oz), (dx, dy, dz), in_image)
-            tt = jnp.where(hit, t, 0.0)
-            hx, hy, hz = ox + tt * dx, oy + tt * dy, oz + tt * dz
-            sn = _norm3(picks[_D_SN], picks[_D_SN + 1], picks[_D_SN + 2])
-            gn = picks[_D_GN:_D_GN + 3]
-            ka = picks[_D_KA:_D_KA + 3]
-            shin = picks[_D_SHIN]
+            alive = in_image
 
-            r3 = [zeros, zeros, zeros]
-            if with_emissive:
-                ndx, ndy, ndz = _norm3(dx, dy, dz)
-                cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
-                em_scale = jnp.where(hit, picks[_D_AREA] * cosv, 0.0)
-                r3 = [r3[c] + picks[_D_KE + c] * em_scale
-                      for c in range(3)]
+            def bounce(d, carry):
+                ox, oy, oz, dx, dy, dz, alive = carry
+                t, hit, picks = closest((ox, oy, oz), (dx, dy, dz),
+                                        alive)
+                hit = hit & alive
+                hitf = hit.astype(jnp.float32)
+                tt = jnp.where(hit, t, 0.0)
+                hx, hy, hz = ox + tt * dx, oy + tt * dy, oz + tt * dz
+                sn = _norm3(picks[_D_SN], picks[_D_SN + 1],
+                            picks[_D_SN + 2])
+                gn = picks[_D_GN:_D_GN + 3]
+                ka = picks[_D_KA:_D_KA + 3]
+                shin = picks[_D_SHIN]
 
-            vdx, vdy, vdz = _norm3(-dx, -dy, -dz)
-            sox = hx + BIAS * gn[0]
-            soy = hy + BIAS * gn[1]
-            soz = hz + BIAS * gn[2]
-            cd = [zeros, zeros, zeros]
-            cs = [zeros, zeros, zeros]
-            for li in range(n_lights):
-                lp = [np.float32(l_pos[li, c]) for c in range(3)]
-                tlx, tly, tlz = lp[0] - hx, lp[1] - hy, lp[2] - hz
-                d2 = tlx * tlx + tly * tly + tlz * tlz
-                lit = hit & jnp.logical_not(
-                    occluded((sox, soy, soz), (tlx, tly, tlz), hit))
-                ldx, ldy, ldz = _norm3(tlx, tly, tlz)
-                ndotl = jnp.maximum(sn[0] * ldx + sn[1] * ldy
-                                    + sn[2] * ldz, 0.0)
-                dot_ln = -(ldx * sn[0] + ldy * sn[1] + ldz * sn[2])
-                rx = -ldx - 2.0 * dot_ln * sn[0]
-                ry = -ldy - 2.0 * dot_ln * sn[1]
-                rz = -ldz - 2.0 * dot_ln * sn[2]
-                spec_cos = jnp.maximum(vdx * rx + vdy * ry + vdz * rz,
-                                       0.0)
-                spec = 0.5 * _pow_like_c(spec_cos, shin)
-                scale = lit.astype(jnp.float32) * np.float32(l_inten[li]) \
-                    / jnp.maximum(d2, 1e-20)
-                for c in range(3):
-                    lc = np.float32(l_color[li, c])
-                    r3[c] = r3[c] + lc * ka[c] * scale
-                    cd[c] = cd[c] + lc * ndotl * scale
-                    cs[c] = cs[c] + lc * spec * scale
+                r3 = [zeros, zeros, zeros]
+                if with_emissive:
+                    # depth-0-only emissive term (raytracer.cpp:127-128)
+                    ndx, ndy, ndz = _norm3(dx, dy, dz)
+                    cosv = -(ndx * sn[0] + ndy * sn[1] + ndz * sn[2])
+                    em_scale = jnp.where(hit & (d == 0),
+                                         picks[_D_AREA] * cosv, 0.0)
+                    r3 = [r3[c] + picks[_D_KE + c] * em_scale
+                          for c in range(3)]
 
-            rec = jnp.concatenate(
-                [picks[_D_UVX], picks[_D_UVY], picks[_D_MAT],
-                 cd[0] * in_f, cd[1] * in_f, cd[2] * in_f,
-                 cs[0] * in_f, cs[1] * in_f, cs[2] * in_f]
-                + [zeros] * (_REC_ROWS - 9), axis=0)
-            out_ref[pl.ds(pl.multiple_of(s * _REC_ROWS, 8),
-                          _REC_ROWS), :] = rec
-            return (ar + r3[0] * in_f, ag + r3[1] * in_f,
-                    ab + r3[2] * in_f)
+                vdx, vdy, vdz = _norm3(-dx, -dy, -dz)
+                sox = hx + BIAS * gn[0]
+                soy = hy + BIAS * gn[1]
+                soz = hz + BIAS * gn[2]
+                cd = [zeros, zeros, zeros]
+                cs = [zeros, zeros, zeros]
+                for li in range(n_lights):
+                    lp = [np.float32(l_pos[li, c]) for c in range(3)]
+                    tlx, tly, tlz = lp[0] - hx, lp[1] - hy, lp[2] - hz
+                    d2 = tlx * tlx + tly * tly + tlz * tlz
+                    lit = hit & jnp.logical_not(
+                        occluded((sox, soy, soz), (tlx, tly, tlz), hit))
+                    ldx, ldy, ldz = _norm3(tlx, tly, tlz)
+                    ndotl = jnp.maximum(sn[0] * ldx + sn[1] * ldy
+                                        + sn[2] * ldz, 0.0)
+                    dot_ln = -(ldx * sn[0] + ldy * sn[1] + ldz * sn[2])
+                    rx = -ldx - 2.0 * dot_ln * sn[0]
+                    ry = -ldy - 2.0 * dot_ln * sn[1]
+                    rz = -ldz - 2.0 * dot_ln * sn[2]
+                    spec_cos = jnp.maximum(
+                        vdx * rx + vdy * ry + vdz * rz, 0.0)
+                    spec = 0.5 * _pow_like_c(spec_cos, shin)
+                    scale = (lit.astype(jnp.float32)
+                             * np.float32(l_inten[li])
+                             / jnp.maximum(d2, 1e-20))
+                    for c in range(3):
+                        lc = np.float32(l_color[li, c])
+                        r3[c] = r3[c] + lc * ka[c] * scale
+                        cd[c] = cd[c] + lc * ndotl * scale
+                        cs[c] = cs[c] + lc * spec * scale
 
-        acc = jax.lax.fori_loop(0, samples, body, (zeros, zeros, zeros))
-        out_ref[pl.ds(samples * _REC_ROWS, 8), :] = jnp.concatenate(
-            [acc[0], acc[1], acc[2]] + [zeros] * 5, axis=0)
+                rec = jnp.concatenate(
+                    [picks[_D_UVX] * hitf, picks[_D_UVY] * hitf,
+                     picks[_D_MAT] * hitf,
+                     r3[0] * hitf * in_f, r3[1] * hitf * in_f,
+                     r3[2] * hitf * in_f,
+                     cd[0] * in_f, cd[1] * in_f, cd[2] * in_f,
+                     cs[0] * in_f, cs[1] * in_f, cs[2] * in_f]
+                    + [zeros] * (_REC_ROWS - 12), axis=0)
+                out_ref[pl.ds(pl.multiple_of((s * D1 + d) * _REC_ROWS,
+                                             8), _REC_ROWS), :] = rec
+
+                # mirror continuation; ks(uv) deferred to the epilogue
+                cont = hit & (d < max_depth)
+                dot_dn = dx * sn[0] + dy * sn[1] + dz * sn[2]
+                bdx = dx - 2.0 * dot_dn * sn[0]
+                bdy = dy - 2.0 * dot_dn * sn[1]
+                bdz = dz - 2.0 * dot_dn * sn[2]
+                return (jnp.where(cont, hx + sn[0] * BIAS, ox),
+                        jnp.where(cont, hy + sn[1] * BIAS, oy),
+                        jnp.where(cont, hz + sn[2] * BIAS, oz),
+                        jnp.where(cont, bdx, dx),
+                        jnp.where(cont, bdy, dy),
+                        jnp.where(cont, bdz, dz), cont)
+
+            jax.lax.fori_loop(
+                0, D1, bounce, (ox, oy, oz, dx, dy, dz, alive))
+            return 0
+
+        jax.lax.fori_loop(0, sample_chunk, body, 0)
 
     return kernel
 
@@ -716,13 +753,16 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
                               ray_block: int = RAY_BLOCK,
                               order_signs=(1.0, 1.0, 1.0),
                               interpret: bool | None = None):
-    """Build `fn(key) -> [H, W, 3]`: the textured Whitted render as one
-    BVH megakernel launch plus a texture-resolve epilogue (deferred
-    texturing). Raises outside the gate (depth > 0 / lights) or past the
-    bundled-row residency cap."""
+    """Build `fn(key) -> [H, W, 3]`: the textured Whitted render as BVH
+    megakernel launches plus a texture-resolve epilogue (deferred
+    texturing, any depth <= MAX_DEFERRED_DEPTH — the epilogue folds the
+    ks(uv) mirror chain back-to-front). Samples are chunked so each
+    launch's record buffer stays bounded (MAX_REC_GROUPS). Raises
+    outside the gate (depth / lights) or past the residency cap."""
     if not bvh_whitted_deferred_supported(scene, max_depth):
         raise ValueError("scene outside the deferred bvh-whitted gate "
-                         "(max_depth must be 0; 1..MAX_LIGHTS lights)")
+                         f"(max_depth <= {MAX_DEFERRED_DEPTH}; "
+                         "1..MAX_LIGHTS lights)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
@@ -746,26 +786,38 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
         + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
         + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
     lights = _lights_consts(scene)
-    kernel = _make_deferred_kernel(bvh.num_nodes, W, H, samples,
-                                   lights, n_pix,
-                                   scene.num_emissive > 0)
+    D1 = max_depth + 1
+    # chunk the sample loop so the per-launch record buffer stays
+    # bounded ([chunk * D1 * 16, n_pad] f32 in HBM, one block in VMEM)
+    sample_chunk = max(1, MAX_REC_GROUPS // D1)
+    n_chunks = -(-samples // sample_chunk)
+    chunk_sizes = [min(sample_chunk, samples - c * sample_chunk)
+                   for c in range(n_chunks)]
     cam_v = camera_vec(camera)
-    out_rows = samples * _REC_ROWS + 8
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
-        grid=(n_pad // ray_block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((out_rows, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
-        interpret=interpret,
-    )
     zero_base = jnp.zeros((1,), jnp.int32)
+
+    def _make_call(chunk):
+        kernel = _make_deferred_kernel(bvh.num_nodes, W, H, chunk,
+                                       max_depth, lights, n_pix,
+                                       scene.num_emissive > 0)
+        out_rows = chunk * D1 * _REC_ROWS
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=12,
+            grid=(n_pad // ray_block,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((out_rows, ray_block),
+                                   lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, n_pad),
+                                           jnp.float32),
+            interpret=interpret,
+        )
+
+    calls = {chunk: _make_call(chunk) for chunk in set(chunk_sizes)}
 
     from orion_tpu.ops.shade import (_mat_tex_table, diffuse_color,
                                      specular_color, take_rows)
@@ -825,20 +877,31 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
 
     @jax.jit
     def _impl(cv, seed):
-        out = call(cv, seed, zero_base, *node_scalars, tab)
-        acc = out[samples * _REC_ROWS:samples * _REC_ROWS + 3].T  # [n_pad,3]
-        rec = out[:samples * _REC_ROWS].reshape(samples, _REC_ROWS, n_pad)
+        acc = jnp.zeros((n_pad, 3), jnp.float32)
+        for c, chunk in enumerate(chunk_sizes):
+            samp_base = jnp.full((1,), c * sample_chunk, jnp.int32)
+            out = calls[chunk](cv, seed, zero_base, samp_base,
+                               *node_scalars, tab)
+            rec = out.reshape(chunk, D1, _REC_ROWS, n_pad)
 
-        def step(car, r):
-            uv = r[0:2].T                        # [n_pad, 2]
-            mat = r[2].astype(jnp.int32)         # [n_pad]
-            cd = r[3:6].T
-            cs = r[6:9].T
-            kd, ks = _kd_ks(mat, uv)
-            return car + cd * kd + cs * ks, None
+            def sample_contrib(_, r_sd):
+                # fold the mirror chain back-to-front:
+                # contrib_d = local_d + ks_d * contrib_{d+1}
+                contrib = jnp.zeros((n_pad, 3), jnp.float32)
+                for d in range(D1 - 1, -1, -1):
+                    r = r_sd[d]
+                    uv = r[0:2].T                  # [n_pad, 2]
+                    mat = r[2].astype(jnp.int32)   # [n_pad]
+                    r3 = r[3:6].T
+                    cd = r[6:9].T
+                    cs = r[9:12].T
+                    kd, ks = _kd_ks(mat, uv)
+                    contrib = r3 + cd * kd + ks * (cs + contrib)
+                return None, contrib
 
-        contrib, _ = jax.lax.scan(step, acc, rec)
-        img = contrib * np.float32(1.0 / samples)
+            _, contribs = jax.lax.scan(sample_contrib, None, rec)
+            acc = acc + contribs.sum(axis=0)
+        img = acc * np.float32(1.0 / samples)
         return img[:n_pix].reshape(H, W, 3)
 
     def render_deferred(key, camera_override=None) -> jax.Array:

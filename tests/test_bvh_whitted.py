@@ -110,9 +110,14 @@ def _with_checker_texture(scene, side=8):
 
 
 def test_deferred_gate(soup):
+    from orion_tpu.ops.pallas_bvh_whitted import MAX_DEFERRED_DEPTH
+
     scene, _ = soup
     assert bvh_whitted_deferred_supported(scene, 0)
-    assert not bvh_whitted_deferred_supported(scene, 1)  # mirror depth
+    assert bvh_whitted_deferred_supported(scene, 1)  # round 4: mirrors
+    assert bvh_whitted_deferred_supported(scene, MAX_DEFERRED_DEPTH)
+    assert not bvh_whitted_deferred_supported(scene,
+                                              MAX_DEFERRED_DEPTH + 1)
     no_light, _ = load_scene(f"{ASSETS}/cornell-box.rtc")
     assert not bvh_whitted_deferred_supported(no_light, 0)
 
@@ -171,3 +176,52 @@ def test_deferred_varying_texture_vs_wavefront(soup):
     solid = np.asarray(make_bvh_whitted_deferred(
         scene, cam, samples=32)(jax.random.key(0)))
     assert not np.allclose(img_k, solid, atol=1e-3)
+
+
+def test_deferred_multibounce_matches_solid_kernel(soup):
+    """Depth-2 mirror chains, untextured: the deferred records + ks-chain
+    epilogue must reproduce the solid megakernel's estimator from the
+    same PCG4D streams (round-4 VERDICT #7 — the depth gate lift)."""
+    scene, cam = soup
+    key = jax.random.key(2)
+    img_d = np.asarray(make_bvh_whitted_deferred(
+        scene, cam, samples=4, max_depth=2)(key))
+    img_s = np.asarray(make_bvh_whitted_renderer(
+        scene, cam, samples=4, max_depth=2)(key))
+    np.testing.assert_allclose(img_d, img_s, atol=5e-5, rtol=1e-4)
+    # mirrors must contribute (otherwise this test proves nothing)
+    img_0 = np.asarray(make_bvh_whitted_deferred(
+        scene, cam, samples=4, max_depth=0)(key))
+    assert np.abs(img_d - img_0).max() > 1e-4
+
+
+def test_deferred_multibounce_textured_vs_wavefront(soup):
+    """Textured depth-2: per-bounce texels enter both the local shading
+    and the ks mirror chain; statistical parity with the wavefront."""
+    scene, cam = soup
+    textured = _with_checker_texture(soup[0])
+    img_k = np.asarray(make_bvh_whitted_deferred(
+        textured, cam, samples=32, max_depth=2)(jax.random.key(0)))
+    img_w = np.asarray(render(textured, cam, jax.random.key(1),
+                              samples=32, max_depth=2, light_samples=1,
+                              mode="whitted"))
+    assert np.isfinite(img_k).all()
+    corr = float((img_k * img_w).sum()
+                 / (np.linalg.norm(img_k) * np.linalg.norm(img_w) + 1e-20))
+    assert corr > 0.95, corr
+    assert img_k.mean() == pytest.approx(img_w.mean(), rel=0.15)
+
+
+def test_deferred_sample_chunking_composes(soup, monkeypatch):
+    """Chunked launches (samples > MAX_REC_GROUPS // (depth+1)) must
+    bit-compose: global sample indices key the RNG streams."""
+    import orion_tpu.ops.pallas_bvh_whitted as mod
+
+    scene, cam = soup
+    key = jax.random.key(5)
+    img_one = np.asarray(make_bvh_whitted_deferred(
+        scene, cam, samples=6, max_depth=1)(key))
+    monkeypatch.setattr(mod, "MAX_REC_GROUPS", 4)  # force 3 chunks of 2
+    img_chunked = np.asarray(mod.make_bvh_whitted_deferred(
+        scene, cam, samples=6, max_depth=1)(key))
+    np.testing.assert_allclose(img_chunked, img_one, atol=1e-6)
