@@ -542,26 +542,42 @@ def cfg_cornell_subdiv2k_path():
 
 def cfg_cornell_subdiv35k_path():
     """Path tracing past the brute gate: cornell subdivided 5 levels
-    (34,818 tris > FUSED_MAX_TRIS), 256x256 16 spp through the BVH path
-    megakernel (ops/pallas_bvh_path.py) — the backend the CLI routes
-    such scenes to. Enclosed-scene bounce rays are the walk's worst case
-    (block-uniform divergence); this entry records it honestly."""
+    (34,818 tris > FUSED_MAX_TRIS), 256x256 16 spp through the big-path
+    megakernel candidates the CLI routes such scenes to — the
+    sorted-wavefront bounce kernel (ops/pallas_bounce.py, round-4
+    production choice) vs the resident-walk megakernel (fallback).
+    The binned dense backend measured 13x slower end-to-end (rounds-loop
+    scaffolding; experiments/exp_binned_bench.py, BENCHMARKS.md) and is
+    not a candidate."""
     import jax
 
     from orion_tpu.camera import camera_from_rtc
-    from orion_tpu.ops.pallas_bvh_path import make_bvh_path_renderer
+    from orion_tpu.ops.pallas_bounce import make_bounce_path_renderer
     from orion_tpu.scene import load_scene, subdivide_scene
 
     scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
     scene = subdivide_scene(scene, levels=5)
     r.xres = r.yres = 256
     cam = camera_from_rtc(r)
-    fn = make_bvh_path_renderer(scene, cam, samples=16, max_depth=8,
-                                light_samples=2, ray_block=512)
+    fn = make_bounce_path_renderer(scene, cam, samples=16, max_depth=8,
+                                   light_samples=2)
     dt = _time_calls(lambda: fn(jax.random.key(0)), 3)
-    return {"backend": "bvh-path-pallas", "seconds": round(dt, 4),
-            "triangles": int(scene.num_triangles),
-            "primary_rays_per_s": round(256 * 256 * 16 / dt, 1)}
+    best = {"backend": "bounce-pallas", "seconds": round(dt, 4)}
+    try:
+        from orion_tpu.ops.pallas_bvh_path import make_bvh_path_renderer
+
+        fn_w = make_bvh_path_renderer(scene, cam, samples=16, max_depth=8,
+                                      light_samples=2, ray_block=512)
+        dt_w = _time_calls(lambda: fn_w(jax.random.key(0)), 3)
+        best["walk_seconds"] = round(dt_w, 4)
+        if dt_w < dt:
+            best = {"backend": "bvh-path-pallas", "seconds": round(dt_w, 4),
+                    "bounce_seconds": round(dt, 4)}
+    except Exception as e:
+        print(f"walk candidate failed: {e!r}", flush=True)
+    best["triangles"] = int(scene.num_triangles)
+    best["primary_rays_per_s"] = round(256 * 256 * 16 / best["seconds"], 1)
+    return best
 
 
 def cfg_prb_train_subdiv35k():

@@ -127,7 +127,7 @@ def _maybe_fused(ps, args, max_depth):
             bvh_whitted_deferred_supported, make_bvh_whitted_deferred)
 
         if bvh_whitted_deferred_supported(ps.scene, max_depth):
-            # textured depth-0 scenes: deferred-texturing megakernel
+            # textured scenes (depth <= 4): deferred-texturing megakernel
             try:
                 return make_bvh_whitted_deferred(
                     ps.scene, ps.camera, samples=args.samples,

@@ -420,7 +420,7 @@ def make_binned_path_renderer(scene: Scene, camera, *, samples: int,
         acc = [jnp.zeros_like(o[0]) for _ in range(3)]
 
         step = _make_bounce_step(sweep, emitter, seed, light_samples,
-                                 max_depth)
+                                 max_depth, fast_shadow=True)
 
         def body(carry, depth):
             o, d, thr, alive, acc = carry

@@ -96,16 +96,22 @@ def wavefront_rays(seed, cam_v, W: int, H: int, samples: int):
 
 
 def _make_bounce_step(sweep, emitter, seed, light_samples: int,
-                      max_depth: int):
+                      max_depth: int, fast_shadow: bool = False):
     """One path bounce over component planes; array-library agnostic
     (kernel refs or plain jnp). Returns
     step(pix, samp, depth, o, d, thr, alive) ->
         (rad3, new_o, new_d, new_thr, new_alive)
     where o/d/thr are 3-tuples of like-shaped planes.
-    Formula-for-formula _make_regen_body's bounce, sans regeneration."""
+    Formula-for-formula _make_regen_body's bounce, sans regeneration.
+
+    fast_shadow=True: NEE visibility via the lean shadow_em walk and
+    consts-sourced light normal/ke (see pallas_fused._make_nee) — the
+    forward bounce-family estimator. Trainers keep False (ke must stay
+    a live table value for material gradients)."""
 
     def step(pix, samp, depth, o, d, thr, alive):
-        nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+        nee = _make_nee(sweep, emitter, seed, pix, light_samples,
+                        fast_shadow=fast_shadow)
         ox, oy, oz = o
         dx, dy, dz = d
         tr, tg, tb = thr
@@ -197,7 +203,7 @@ def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
         depth = depth_ref[0]
         sweep = _make_path_sweep(node, tab_ref, M)
         step = _make_bounce_step(sweep, emitter, seed, light_samples,
-                                 max_depth)
+                                 max_depth, fast_shadow=True)
 
         o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
         d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
@@ -290,8 +296,26 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         scene, check_cap=not interpret)
     emitter = _emitters_consts(scene)
     s_lo, s_hi = _scene_bounds_np(scene)
-    call = build_bounce_call(num_nodes, max_depth, light_samples, emitter,
-                             s_lo, s_hi, n_pad, ray_block, interpret)
+
+    # Wavefront COMPACTION (round 4): after the dead-last sort, live
+    # lanes occupy a prefix — so deep bounces (live fraction 1-5%) need
+    # not launch the full grid of dead blocks, whose per-block iteration
+    # overhead dominated depths 2+ (measured ~25 us/block,
+    # experiments/exp_bounce_breakdown.py: 54 ms for 1% live). Kernel
+    # variants are compiled at halving prefix sizes; each bounce
+    # lax.switches to the smallest variant covering its live count and
+    # leaves the dead suffix untouched (its pixel ids + accumulated
+    # radiance persist for the final scatter).
+    sizes = [n_pad]
+    while len(sizes) < 5:
+        nxt = _round_up(sizes[-1] // 2, ray_block)
+        if nxt >= sizes[-1] or nxt < ray_block:
+            break
+        sizes.append(nxt)
+    calls = {sz: build_bounce_call(num_nodes, max_depth, light_samples,
+                                   emitter, s_lo, s_hi, sz, ray_block,
+                                   interpret)
+             for sz in sizes}
 
     from orion_tpu.ops.pallas_fused import camera_vec
     cam_v = camera_vec(camera)
@@ -333,10 +357,36 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
 
         def body(carry, depth):
             st, it = carry
-            if sort:
-                perm = jnp.argsort(st[13].astype(jnp.int32), stable=True)
-                st, it = st[:, perm], it[:, perm]
-            st, it = call(seed, depth[None], *node_scalars, st, it, tab)
+            if not sort:
+                # unsorted: live lanes are scattered — no compaction
+                st, it = calls[n_pad](seed, depth[None], *node_scalars,
+                                      st, it, tab)
+                return (st, it), None
+
+            # full-width sort FIRST (live lanes may sit anywhere in the
+            # previous bucket's span); the kernel then runs on the
+            # smallest prefix covering the live count
+            perm = jnp.argsort(st[13].astype(jnp.int32), stable=True)
+            st, it = st[:, perm], it[:, perm]
+            live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
+            thresholds = jnp.asarray(sizes, jnp.int32)
+            idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
+                           len(sizes) - 1)
+
+            def make_branch(sz):
+                def branch(st, it):
+                    stp, itp = calls[sz](seed, depth[None],
+                                         *node_scalars, st[:, :sz],
+                                         it[:, :sz], tab)
+                    if sz == n_pad:
+                        return stp, itp
+                    return (jnp.concatenate([stp, st[:, sz:]], axis=1),
+                            jnp.concatenate([itp, it[:, sz:]], axis=1))
+
+                return branch
+
+            st, it = jax.lax.switch(idx, [make_branch(sz)
+                                          for sz in sizes], st, it)
             return (st, it), None
 
         (st, it), _ = jax.lax.scan(
@@ -388,7 +438,7 @@ def bounce_reference_render(scene: Scene, camera, key, *, samples: int,
 
     _, sweep = _make_geom(col, B_pad, chunk=None, blk=blk)
     step = _make_bounce_step(sweep, emitter, seed, light_samples,
-                             max_depth)
+                             max_depth, fast_shadow=True)
 
     pix, samp, o, d = wavefront_rays(seed, cam_v, W, H, samples)
     thr = tuple(jnp.ones_like(o[0]) for _ in range(3))

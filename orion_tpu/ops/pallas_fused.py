@@ -234,7 +234,9 @@ def pack_fused_tri_table_jnp(scene: Scene) -> jax.Array:
 
 
 def _emitter_consts(scene: Scene, index: int = 0):
-    """Python constants for one emissive mesh's triangles."""
+    """Python constants for one emissive mesh's triangles. Trailing
+    fields (corner normals, material ke) serve _make_nee's fast-shadow
+    path; indices 0..5 are stable for older call sites."""
     em = int(np.asarray(scene.emissive_mesh_ids)[index])
     start = int(np.asarray(scene.mesh_tri_start)[em])
     count = int(np.asarray(scene.mesh_tri_count)[em])
@@ -245,7 +247,17 @@ def _emitter_consts(scene: Scene, index: int = 0):
     # sample weight == triArea * triCount (mesh.hpp:178-184 importance
     # bias, shade.sample_mesh_point parity)
     weight = area * count
-    return em, count, v0, e1, e2, weight
+    try:
+        n0 = np.asarray(scene.n0)[start:start + count]
+        n1 = np.asarray(scene.n1)[start:start + count]
+        n2 = np.asarray(scene.n2)[start:start + count]
+        ke = np.asarray(scene.mat_emissive)[em]
+    except jax.errors.TracerArrayConversionError:
+        # traced scene (an AD oracle differentiating scene fields):
+        # the fast-shadow consts are unused there — legacy NEE reads
+        # ke/normals from the live attribute table
+        n0 = n1 = n2 = ke = None
+    return em, count, v0, e1, e2, weight, n0, n1, n2, ke
 
 
 def _emitters_consts(scene: Scene):
@@ -376,7 +388,29 @@ def _make_geom(col, T_pad, *, chunk=None, col_dyn=None, chunk_box=None,
             t, _, _ = mt_planes(o, d)
             return jnp.min(t, axis=0, keepdims=True) < _BIG
 
+        def shadow_em(o, d, alive=None, t_cap=None, em_mesh=0):
+            """Lean NEE visibility: the nearest (t < cap) hit lands on
+            em_mesh. EXACTLY the attribute sweep's winner semantics
+            (min t, ties by row) with no attribute planes carried."""
+            cap = _BIG if t_cap is None else np.float32(t_cap)
+            t, _, _ = mt_planes(o, d)                 # [T_pad, RB]
+            t = jnp.where(t < cap, t, _BIG)
+            t_min = jnp.min(t, axis=0, keepdims=True)
+            row_min = jnp.min(
+                jnp.where(t == t_min, row_f, jnp.int32(2**30)),
+                axis=0, keepdims=True)
+            is_em = jnp.broadcast_to(
+                col(_C_MESH) == np.float32(em_mesh), t.shape)
+            em_win = jnp.sum(
+                jnp.where(row_f == row_min, is_em.astype(jnp.float32),
+                          0.0), axis=0, keepdims=True) > 0.0
+            vis = (t_min < cap) & em_win
+            if alive is not None:
+                vis = vis & alive
+            return vis
+
         sweep.any_hit = any_hit
+        sweep.shadow_em = shadow_em
         return mt_planes, sweep
 
     def _box_reachable(k, o, d, t_b):
@@ -514,7 +548,8 @@ def _make_primary(cam, seed, pix, W, H):
 NEE_T_CAP = np.float32(1.05)   # shadow-segment cap (see sweep call below)
 
 
-def _make_nee(sweep, emitter, seed, pix, light_samples):
+def _make_nee(sweep, emitter, seed, pix, light_samples,
+              fast_shadow=False):
     """NEE against the emissive meshes (raytracer.cpp:133-159): one shadow
     sweep per (mesh, light sample); contribution iff the NEAREST shadow
     hit lands on the sampled mesh.
@@ -528,7 +563,20 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
       sum_scale = sum scale                      (d r_nee_ch / d ske_ch —
                   the PRB kernel's mat_emissive adjoint; only meaningful
                   under PRB's single-emitter gate)
-    """
+
+    fast_shadow=True (the bounce-family estimator, round 4): the shadow
+    sweep carries NO winner attributes — the light normal interpolates
+    the SAMPLED triangle's corner normals at the sampled barycentrics
+    (consts) and the emitted color is the emitter material's ke (consts,
+    value-identical to the winner's ke row). Visibility uses
+    sweep.shadow_em when available — a lean walk carrying only
+    (nearest-em t, nearest-non-em t), measured ~2x cheaper than the
+    attribute walk — falling back to a mesh-column closest sweep.
+    Estimator deltas vs the legacy path: the light normal's fp path
+    (sampled (a, b) vs the walk's recomputed Woop (u, v) — ~1e-6), and
+    nearest-hit ties ACROSS meshes resolving pro-emitter instead of by
+    bundled row. NOTE: ke rides as a baked constant — material-training
+    paths keep fast_shadow=False so d/d(mat_emissive) stays live."""
     emitters = emitter if isinstance(emitter, list) else [emitter]
     inv_ls = np.float32(1.0 / light_samples)
 
@@ -541,20 +589,19 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         soz = hz + BIAS * gnz
         A = [jnp.zeros_like(hx) for _ in range(3)]
         sum_scale = jnp.zeros_like(hx)
-        for mi, (em_mesh, em_count, em_v0, em_e1, em_e2,
-                 em_weight) in enumerate(emitters):
+        for mi, em in enumerate(emitters):
             for ls in range(light_samples):
                 A, sum_scale = one_mesh_sample(
                     samp, depth, (hx, hy, hz), (sox, soy, soz),
-                    (snx, sny, snz), hit, A, sum_scale,
-                    em_mesh, em_count, em_v0, em_e1, em_e2, em_weight,
+                    (snx, sny, snz), hit, A, sum_scale, em,
                     # RNG site: mi == 0 keeps round-1/2 streams bitwise
                     ls + light_samples * mi)
         return A, sum_scale
 
     def one_mesh_sample(samp, depth, h, so, sn, hit, A, sum_scale,
-                        em_mesh, em_count, em_v0, em_e1, em_e2,
-                        em_weight, site):
+                        em, site):
+        (em_mesh, em_count, em_v0, em_e1, em_e2, em_weight,
+         em_n0, em_n1, em_n2, em_ke) = em
         hx, hy, hz = h
         sox, soy, soz = so
         snx, sny, snz = sn
@@ -572,6 +619,9 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         le1x, le1y, le1z = (jnp.zeros_like(ut),) * 3
         le2x, le2y, le2z = (jnp.zeros_like(ut),) * 3
         lwt = jnp.zeros_like(ut)
+        lns = ([jnp.zeros_like(ut) for _ in range(3)],
+               [jnp.zeros_like(ut) for _ in range(3)],
+               [jnp.zeros_like(ut) for _ in range(3)])
         for k in range(em_count):
             m = (sel_t == k).astype(jnp.float32)
             lv0x += m * np.float32(em_v0[k, 0])
@@ -584,6 +634,10 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
             le2y += m * np.float32(em_e2[k, 1])
             le2z += m * np.float32(em_e2[k, 2])
             lwt += m * np.float32(em_weight[k])
+            if fast_shadow:
+                for ci, nsrc in enumerate((em_n0, em_n1, em_n2)):
+                    for c in range(3):
+                        lns[ci][c] += m * np.float32(nsrc[k, c])
         # parallelogram fold (geometry.hpp:159-171)
         flip = (ua + ub) > 1.0
         a = jnp.where(flip, 1.0 - ua, ua)
@@ -598,27 +652,57 @@ def _make_nee(sweep, emitter, seed, pix, light_samples):
         # subtrees past the light never open. Semantics-preserving — a
         # nearest hit beyond the cap could only be "visible" if the ray
         # grazed THROUGH its own sample point (fp measure zero)
-        st, s_hit, su, sv, s_got = sweep(
-            (sox, soy, soz), (sdx, sdy, sdz),
-            tuple(range(_C_N0, _C_N0 + 9))
-            + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH),
-            alive=hit, t_init=NEE_T_CAP)
-        visible = (s_hit & hit
-                   & (s_got[_C_MESH] == np.float32(em_mesh)))
-        lnx, lny, lnz = _interp_n(su, sv, s_got,
-                                  _C_N0, _C_N1, _C_N2)
+        if fast_shadow:
+            # light normal + both cosines are consts-derived, so the
+            # geometry term is known BEFORE the walk; lanes with
+            # geom == 0 (e.g. ceiling hits facing away from the light)
+            # contribute 0 regardless of visibility and skip the shadow
+            # walk entirely (their t_b rides -_BIG: no subtree votes)
+            w_ = 1.0 - a - b
+            lnx, lny, lnz = _norm3(
+                w_ * lns[0][0] + a * lns[1][0] + b * lns[2][0],
+                w_ * lns[0][1] + a * lns[1][1] + b * lns[2][1],
+                w_ * lns[0][2] + a * lns[1][2] + b * lns[2][2])
+            ske = tuple(np.float32(em_ke[c]) for c in range(3))
+            ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
+            cos_s = snx * ldx + sny * ldy + snz * ldz
+            cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+            need = hit & (cos_s * cos_l > 0.0)
+            shadow_em = getattr(sweep, "shadow_em", None)
+            if shadow_em is not None:
+                visible = need & shadow_em(
+                    (sox, soy, soz), (sdx, sdy, sdz), alive=need,
+                    t_cap=NEE_T_CAP, em_mesh=em_mesh)
+            else:
+                _, s_hit, _, _, s_got = sweep(
+                    (sox, soy, soz), (sdx, sdy, sdz), (_C_MESH,),
+                    alive=need, t_init=NEE_T_CAP)
+                visible = (s_hit & need
+                           & (s_got[_C_MESH] == np.float32(em_mesh)))
+        else:
+            _, s_hit, su, sv, s_got = sweep(
+                (sox, soy, soz), (sdx, sdy, sdz),
+                tuple(range(_C_N0, _C_N0 + 9))
+                + (_C_KE, _C_KE + 1, _C_KE + 2, _C_MESH),
+                alive=hit, t_init=NEE_T_CAP)
+            visible = (s_hit & hit
+                       & (s_got[_C_MESH] == np.float32(em_mesh)))
+            lnx, lny, lnz = _interp_n(su, sv, s_got,
+                                      _C_N0, _C_N1, _C_N2)
+            ske = (s_got[_C_KE], s_got[_C_KE + 1], s_got[_C_KE + 2])
         # brdf_eval (material.hpp:95-105): two-cosine geometry
         # term, 1/(1+d^2) falloff, weight = triArea*triCount
         d2 = sdx * sdx + sdy * sdy + sdz * sdz
-        ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
-        cos_s = snx * ldx + sny * ldy + snz * ldz
-        cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+        if not fast_shadow:
+            ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
+            cos_s = snx * ldx + sny * ldy + snz * ldz
+            cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
         geom = jnp.maximum(cos_s * cos_l, 0.0)
         scale = jnp.where(visible,
                           geom * lwt / (1.0 + d2) * inv_ls, 0.0)
-        A[0] += s_got[_C_KE] * scale
-        A[1] += s_got[_C_KE + 1] * scale
-        A[2] += s_got[_C_KE + 2] * scale
+        A[0] += ske[0] * scale
+        A[1] += ske[1] * scale
+        A[2] += ske[2] * scale
         sum_scale += scale
         return A, sum_scale
 
