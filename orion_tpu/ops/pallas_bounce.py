@@ -355,42 +355,60 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         it = it.at[0, :N].set(pix).at[1, :N].set(samp)
         depth0 = jnp.zeros((1,), jnp.int32)
 
+        def make_kernel_branch(sz, depth):
+            def branch(st, it):
+                stp, itp = calls[sz](seed, depth[None],
+                                     *node_scalars, st[:, :sz],
+                                     it[:, :sz], tab)
+                if sz == n_pad:
+                    return stp, itp
+                return (jnp.concatenate([stp, st[:, sz:]], axis=1),
+                        jnp.concatenate([itp, it[:, sz:]], axis=1))
+
+            return branch
+
+        def make_sort_branch(szp):
+            # PREFIX sort: live lanes exist only in [0, szp) (the
+            # previous bounce's prefix; the suffix has been dead-sorted
+            # since it was cut). Dead-lane order is estimator-free
+            # (scatter-add by pixel id), so sorting the prefix alone is
+            # image-identical to the full-width sort.
+            def branch(st, it):
+                perm = jnp.argsort(st[13, :szp].astype(jnp.int32),
+                                   stable=True)
+                if szp == n_pad:
+                    return st[:, perm], it[:, perm]
+                return (jnp.concatenate([st[:, :szp][:, perm],
+                                         st[:, szp:]], axis=1),
+                        jnp.concatenate([it[:, :szp][:, perm],
+                                         it[:, szp:]], axis=1))
+
+            return branch
+
         def body(carry, depth):
-            st, it = carry
+            st, it, prev = carry
             if not sort:
                 # unsorted: live lanes are scattered — no compaction
                 st, it = calls[n_pad](seed, depth[None], *node_scalars,
                                       st, it, tab)
-                return (st, it), None
+                return (st, it, prev), None
 
-            # full-width sort FIRST (live lanes may sit anywhere in the
-            # previous bucket's span); the kernel then runs on the
-            # smallest prefix covering the live count
-            perm = jnp.argsort(st[13].astype(jnp.int32), stable=True)
-            st, it = st[:, perm], it[:, perm]
+            st, it = jax.lax.switch(prev, [make_sort_branch(sz)
+                                           for sz in sizes], st, it)
             live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
             thresholds = jnp.asarray(sizes, jnp.int32)
             idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
                            len(sizes) - 1)
-
-            def make_branch(sz):
-                def branch(st, it):
-                    stp, itp = calls[sz](seed, depth[None],
-                                         *node_scalars, st[:, :sz],
-                                         it[:, :sz], tab)
-                    if sz == n_pad:
-                        return stp, itp
-                    return (jnp.concatenate([stp, st[:, sz:]], axis=1),
-                            jnp.concatenate([itp, it[:, sz:]], axis=1))
-
-                return branch
-
-            st, it = jax.lax.switch(idx, [make_branch(sz)
+            st, it = jax.lax.switch(idx, [make_kernel_branch(sz, depth)
                                           for sz in sizes], st, it)
-            return (st, it), None
+            return (st, it, idx), None
 
-        (st, it), _ = jax.lax.scan(
-            body, (st, it), jnp.arange(max_depth + 1, dtype=jnp.int32))
+        # depth 0 outside the scan: the primary wavefront's keys are all
+        # zero (no sort needed) and every lane is live (no compaction)
+        st, it = calls[n_pad](seed, depth0, *node_scalars, st, it, tab)
+        (st, it, _), _ = jax.lax.scan(
+            body, (st, it, jnp.int32(0)),
+            jnp.arange(1, max_depth + 1, dtype=jnp.int32))
         img = jnp.zeros((n_pix, 3), jnp.float32)
         img = img.at[it[0]].add(st[10:13].T, mode="drop",
                                 unique_indices=False)
