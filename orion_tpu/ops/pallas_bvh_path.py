@@ -305,8 +305,79 @@ def _make_path_sweep(node, tab_ref, M):
             vis = vis & alive
         return vis
 
+    def shadow_em2(o, d0, d1, alive0=None, alive1=None, t_cap=None,
+                   em_mesh=0):
+        """Fused dual-sample NEE visibility: shadow_em for TWO rays that
+        share an origin (both light samples of one bounce) in ONE walk.
+        The per-step serial scalar chain (8 SMEM loads -> any-reduce ->
+        branch -> pointer update, ~3/4 of the 226 ns step cost,
+        exp_walk_anatomy/exp_scalar_hiding) is paid once for both rays;
+        only the cheap vector work doubles. Both rays target the same
+        small emitter, so the union of visited subtrees stays ~equal to
+        one ray's — measured ~2x cheaper than two shadow_em walks."""
+        cap = _BIG if t_cap is None else np.float32(t_cap)
+        exm = np.float32(em_mesh)
+        inv0 = (1.0 / d0[0], 1.0 / d0[1], 1.0 / d0[2])
+        inv1 = (1.0 / d1[0], 1.0 / d1[1], 1.0 / d1[2])
+        shape = jnp.broadcast_shapes(o[0].shape, d0[0].shape)
+        t00 = (jnp.full(shape, cap) if alive0 is None
+               else jnp.where(alive0, cap, -_BIG))
+        t01 = (jnp.full(shape, cap) if alive1 is None
+               else jnp.where(alive1, cap, -_BIG))
+        zero = jnp.zeros(shape, jnp.float32)
+
+        def em_win(t, t_b, em_f, leaf_em):
+            t_min = jnp.min(t, axis=0, keepdims=True)
+            better = (t_min < t_b) & (t_min < _BIG)
+            row_min = jnp.min(
+                jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
+                axis=0, keepdims=True)
+            em_new = jnp.sum(
+                jnp.where(row_idx == row_min,
+                          leaf_em.astype(jnp.float32), 0.0),
+                axis=0, keepdims=True)
+            return (jnp.where(better, t_min, t_b),
+                    jnp.where(better, em_new, em_f))
+
+        def body(carry):
+            ptr, t_b0, em_f0, t_b1, em_f1 = carry
+            lane_hit = (_slab(ptr, o, inv0, t_b0)
+                        | _slab(ptr, o, inv1, t_b1))
+            any_lane = jnp.any(lane_hit)
+            start = node["start"][ptr]
+            is_leaf = start >= 0
+
+            def leaf_case(state):
+                t_b0, em_f0, t_b1, em_f1 = state
+                blk_t, t0, _, _ = _leaf_planes(start, o, d0)
+                t1, _, _ = _woop_uv(o, d1, blk_t)
+                leaf_em = jnp.broadcast_to(
+                    blk_t[:, _C_MESH:_C_MESH + 1] == exm, t0.shape)
+                t_b0, em_f0 = em_win(t0, t_b0, em_f0, leaf_em)
+                t_b1, em_f1 = em_win(t1, t_b1, em_f1, leaf_em)
+                return t_b0, em_f0, t_b1, em_f1
+
+            t_b0, em_f0, t_b1, em_f1 = jax.lax.cond(
+                any_lane & is_leaf, leaf_case, lambda s: s,
+                (t_b0, em_f0, t_b1, em_f1))
+            descend = any_lane & jnp.logical_not(is_leaf)
+            ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
+            return ptr, t_b0, em_f0, t_b1, em_f1
+
+        _, t_b0, em_f0, t_b1, em_f1 = jax.lax.while_loop(
+            lambda c: c[0] < M, body, (jnp.int32(0), t00, zero, t01,
+                                       zero))
+        vis0 = (t_b0 < cap) & (em_f0 > 0.0)
+        vis1 = (t_b1 < cap) & (em_f1 > 0.0)
+        if alive0 is not None:
+            vis0 = vis0 & alive0
+        if alive1 is not None:
+            vis1 = vis1 & alive1
+        return vis0, vis1
+
     sweep.any_hit = any_hit
     sweep.shadow_em = shadow_em
+    sweep.shadow_em2 = shadow_em2
     return sweep
 
 

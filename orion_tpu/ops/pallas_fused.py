@@ -589,7 +589,32 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
         soz = hz + BIAS * gnz
         A = [jnp.zeros_like(hx) for _ in range(3)]
         sum_scale = jnp.zeros_like(hx)
+        shadow_em2 = getattr(sweep, "shadow_em2", None)
         for mi, em in enumerate(emitters):
+            if (fast_shadow and light_samples == 2
+                    and shadow_em2 is not None):
+                # FUSED dual-sample visibility: both light samples of
+                # this mesh share one walk (one scalar chain, two
+                # t-carries) — value-identical to two shadow_em walks
+                d0 = draw_fast(samp, depth, (hx, hy, hz),
+                               (snx, sny, snz), hit, em,
+                               0 + light_samples * mi)
+                d1 = draw_fast(samp, depth, (hx, hy, hz),
+                               (snx, sny, snz), hit, em,
+                               1 + light_samples * mi)
+                vis0, vis1 = shadow_em2(
+                    (sox, soy, soz), d0["sd"], d1["sd"],
+                    alive0=d0["need"], alive1=d1["need"],
+                    t_cap=NEE_T_CAP, em_mesh=d0["em_mesh"])
+                for dd, vis in ((d0, vis0), (d1, vis1)):
+                    scale = jnp.where(
+                        vis, dd["geom"] * dd["lwt"] / (1.0 + dd["d2"])
+                        * inv_ls, 0.0)
+                    A[0] += dd["ske"][0] * scale
+                    A[1] += dd["ske"][1] * scale
+                    A[2] += dd["ske"][2] * scale
+                    sum_scale += scale
+                continue
             for ls in range(light_samples):
                 A, sum_scale = one_mesh_sample(
                     samp, depth, (hx, hy, hz), (sox, soy, soz),
@@ -598,17 +623,15 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
                     ls + light_samples * mi)
         return A, sum_scale
 
-    def one_mesh_sample(samp, depth, h, so, sn, hit, A, sum_scale,
-                        em, site):
+    def draw_light(samp, depth, h, em, site):
+        """RNG draws + sampled light point for one (mesh, sample) site;
+        shared by the looped and fused paths (identical streams)."""
         (em_mesh, em_count, em_v0, em_e1, em_e2, em_weight,
          em_n0, em_n1, em_n2, em_ke) = em
         hx, hy, hz = h
-        sox, soy, soz = so
-        snx, sny, snz = sn
-        ls = site  # RNG site index (mesh-major past the first mesh)
         u0_, u1_, u2_, _ = _pcg4d(
             pix, samp * jnp.int32(131071) + depth,
-            jnp.full_like(pix, 0x11 + 0x101 * ls),
+            jnp.full_like(pix, 0x11 + 0x101 * site),
             jnp.broadcast_to(seed, pix.shape))
         ut, ua, ub = _u01(u0_), _u01(u1_), _u01(u2_)
         # triangle choice: uniform by count (mesh.hpp:178-184)
@@ -645,8 +668,42 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
         tx_ = lv0x + a * le1x + b * le2x
         ty_ = lv0y + a * le1y + b * le2y
         tz_ = lv0z + a * le1z + b * le2z
+        sd = (tx_ - hx, ty_ - hy, tz_ - hz)
+        return sd, a, b, lwt, lns
 
-        sdx, sdy, sdz = tx_ - hx, ty_ - hy, tz_ - hz
+    def fast_consts(sd, sn, hit, a, b, lns, em):
+        """Consts-derived light normal, cosines, and pre-walk gate
+        (fast-shadow path; see the nee docstring)."""
+        em_ke = em[9]
+        snx, sny, snz = sn
+        sdx, sdy, sdz = sd
+        w_ = 1.0 - a - b
+        lnx, lny, lnz = _norm3(
+            w_ * lns[0][0] + a * lns[1][0] + b * lns[2][0],
+            w_ * lns[0][1] + a * lns[1][1] + b * lns[2][1],
+            w_ * lns[0][2] + a * lns[1][2] + b * lns[2][2])
+        ske = tuple(np.float32(em_ke[c]) for c in range(3))
+        ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
+        cos_s = snx * ldx + sny * ldy + snz * ldz
+        cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
+        need = hit & (cos_s * cos_l > 0.0)
+        geom = jnp.maximum(cos_s * cos_l, 0.0)
+        d2 = sdx * sdx + sdy * sdy + sdz * sdz
+        return ske, need, geom, d2
+
+    def draw_fast(samp, depth, h, sn, hit, em, site):
+        sd, a, b, lwt, lns = draw_light(samp, depth, h, em, site)
+        ske, need, geom, d2 = fast_consts(sd, sn, hit, a, b, lns, em)
+        return {"sd": sd, "lwt": lwt, "ske": ske, "need": need,
+                "geom": geom, "d2": d2, "em_mesh": em[0]}
+
+    def one_mesh_sample(samp, depth, h, so, sn, hit, A, sum_scale,
+                        em, site):
+        em_mesh = em[0]
+        sox, soy, soz = so
+        snx, sny, snz = sn
+        (sdx, sdy, sdz), a, b, lwt, lns = draw_light(samp, depth, h,
+                                                     em, site)
         # the sampled point sits at t == 1 of the UNNORMALIZED shadow
         # direction, so the walk's live segment is capped at 1 + eps:
         # subtrees past the light never open. Semantics-preserving — a
@@ -658,16 +715,8 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
             # geom == 0 (e.g. ceiling hits facing away from the light)
             # contribute 0 regardless of visibility and skip the shadow
             # walk entirely (their t_b rides -_BIG: no subtree votes)
-            w_ = 1.0 - a - b
-            lnx, lny, lnz = _norm3(
-                w_ * lns[0][0] + a * lns[1][0] + b * lns[2][0],
-                w_ * lns[0][1] + a * lns[1][1] + b * lns[2][1],
-                w_ * lns[0][2] + a * lns[1][2] + b * lns[2][2])
-            ske = tuple(np.float32(em_ke[c]) for c in range(3))
-            ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
-            cos_s = snx * ldx + sny * ldy + snz * ldz
-            cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
-            need = hit & (cos_s * cos_l > 0.0)
+            ske, need, geom, d2 = fast_consts(
+                (sdx, sdy, sdz), sn, hit, a, b, lns, em)
             shadow_em = getattr(sweep, "shadow_em", None)
             if shadow_em is not None:
                 visible = need & shadow_em(
@@ -692,12 +741,12 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
             ske = (s_got[_C_KE], s_got[_C_KE + 1], s_got[_C_KE + 2])
         # brdf_eval (material.hpp:95-105): two-cosine geometry
         # term, 1/(1+d^2) falloff, weight = triArea*triCount
-        d2 = sdx * sdx + sdy * sdy + sdz * sdz
         if not fast_shadow:
+            d2 = sdx * sdx + sdy * sdy + sdz * sdz
             ldx, ldy, ldz = _norm3(sdx, sdy, sdz)
             cos_s = snx * ldx + sny * ldy + snz * ldz
             cos_l = -(lnx * ldx + lny * ldy + lnz * ldz)
-        geom = jnp.maximum(cos_s * cos_l, 0.0)
+            geom = jnp.maximum(cos_s * cos_l, 0.0)
         scale = jnp.where(visible,
                           geom * lwt / (1.0 + d2) * inv_ls, 0.0)
         A[0] += ske[0] * scale
