@@ -581,35 +581,57 @@ def cfg_cornell_subdiv35k_path():
 
 
 def cfg_prb_train_subdiv35k():
-    """Differentiable rendering past the brute gate: BVH-PRB train step
-    (forward + replay megakernels over the resident tree) on the 34.8k-
-    triangle subdivided cornell, 256x256 4 spp depth 4. The fwd+bwd
-    north-star metric at a scene size the brute PRB cannot touch."""
+    """Differentiable rendering past the brute gate: train step on the
+    34.8k-triangle subdivided cornell, 256x256 4 spp depth 4 — the
+    fwd+bwd north-star metric at a scene size the brute PRB cannot
+    touch. Candidates: the closed-form bounce-PRB (forward kernel dumps
+    the replay planes; backward is pure math — ops/pallas_bounce_prb.py,
+    round-4 production choice) vs the regenerative BVH-PRB megakernel
+    (replays every walk; fallback)."""
     import jax
+    import jax.numpy as jnp
 
     from orion_tpu.camera import camera_from_rtc
-    from orion_tpu.ops.pallas_bvh_prb import make_bvh_train_step
+    from orion_tpu.ops.pallas_bounce_prb import make_bounce_train_step
     from orion_tpu.scene import load_scene, subdivide_scene
 
     scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
     scene = subdivide_scene(scene, levels=5)
     r.xres = r.yres = 256
     cam = camera_from_rtc(r)
-    import jax.numpy as jnp
-
     target = jnp.zeros((256, 256, 3), jnp.float32)
-    step = make_bvh_train_step(scene, cam, target, samples=4, max_depth=4,
-                               light_samples=2, ray_block=512)
+    step = make_bounce_train_step(scene, cam, target, samples=4,
+                                  max_depth=4, light_samples=2)
 
     def go():
         loss, g = step(jax.random.key(0))
         return g["mat_diffuse"]
 
     dt = _time_calls(go, 3)
-    return {"backend": "bvh-prb-pallas", "seconds": round(dt, 4),
-            "triangles": int(scene.num_triangles),
-            "params": ["mat_diffuse", "mat_emissive"],
-            "fwd_bwd_primary_rays_per_s": round(256 * 256 * 4 / dt, 1)}
+    best = {"backend": "bounce-prb-pallas", "seconds": round(dt, 4)}
+    try:
+        from orion_tpu.ops.pallas_bvh_prb import make_bvh_train_step
+
+        step_w = make_bvh_train_step(scene, cam, target, samples=4,
+                                     max_depth=4, light_samples=2,
+                                     ray_block=512)
+
+        def go_w():
+            loss, g = step_w(jax.random.key(0))
+            return g["mat_diffuse"]
+
+        dt_w = _time_calls(go_w, 3)
+        best["megakernel_seconds"] = round(dt_w, 4)
+        if dt_w < dt:
+            best = {"backend": "bvh-prb-pallas", "seconds": round(dt_w, 4),
+                    "bounce_prb_seconds": round(dt, 4)}
+    except Exception as e:
+        print(f"bvh-prb candidate failed: {e!r}", flush=True)
+    best["triangles"] = int(scene.num_triangles)
+    best["params"] = ["mat_diffuse", "mat_emissive"]
+    best["fwd_bwd_primary_rays_per_s"] = round(256 * 256 * 4
+                                               / best["seconds"], 1)
+    return best
 
 
 CONFIGS = {

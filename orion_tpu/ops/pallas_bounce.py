@@ -96,18 +96,27 @@ def wavefront_rays(seed, cam_v, W: int, H: int, samples: int):
 
 
 def _make_bounce_step(sweep, emitter, seed, light_samples: int,
-                      max_depth: int, fast_shadow: bool = False):
+                      max_depth: int, fast_shadow: bool = False,
+                      with_aux: bool = False):
     """One path bounce over component planes; array-library agnostic
     (kernel refs or plain jnp). Returns
     step(pix, samp, depth, o, d, thr, alive) ->
-        (rad3, new_o, new_d, new_thr, new_alive)
+        (rad3, new_o, new_d, new_thr, new_alive[, aux])
     where o/d/thr are 3-tuples of like-shaped planes.
     Formula-for-formula _make_regen_body's bounce, sans regeneration.
 
     fast_shadow=True: NEE visibility via the lean shadow_em walk and
     consts-sourced light normal/ke (see pallas_fused._make_nee) — the
-    forward bounce-family estimator. Trainers keep False (ke must stay
-    a live table value for material gradients)."""
+    forward bounce-family estimator. AD-differentiated trainers keep
+    False (ke must stay a live table value); the closed-form bounce-PRB
+    trainer (ops/pallas_bounce_prb.py) keeps True — its adjoints read
+    the dumped VALUES, not the graph.
+
+    with_aux=True: step also returns aux — a tuple of 15 planes
+    (kd3, A3, rad3, em_scale, sum_scale, mesh, hitf, contf, inv_p)
+    holding every per-bounce value the closed-form path-replay adjoints
+    need (see pallas_bounce_prb): dumping them from the forward kernel
+    makes the backward pass pure per-lane math — no walks, no sorts."""
 
     def step(pix, samp, depth, o, d, thr, alive):
         nee = _make_nee(sweep, emitter, seed, pix, light_samples,
@@ -133,7 +142,8 @@ def _make_bounce_step(sweep, emitter, seed, light_samples: int,
         rg_ = got[_C_KE + 1] * em_scale
         rb_ = got[_C_KE + 2] * em_scale
 
-        A, _ = nee(samp, depth, (hx, hy, hz), gn, (snx, sny, snz), hit)
+        A, sum_scale = nee(samp, depth, (hx, hy, hz), gn,
+                           (snx, sny, snz), hit)
         rr_ += kdr * A[0]
         rg_ += kdg * A[1]
         rb_ += kdb * A[2]
@@ -155,7 +165,11 @@ def _make_bounce_step(sweep, emitter, seed, light_samples: int,
                  jnp.where(cont, bdz, dz))
         new_thr = (tr * kdr * inv_p * contf, tg * kdg * inv_p * contf,
                    tb * kdb * inv_p * contf)
-        return rad, new_o, new_d, new_thr, cont
+        if not with_aux:
+            return rad, new_o, new_d, new_thr, cont
+        aux = (kdr, kdg, kdb, A[0], A[1], A[2], rad[0], rad[1], rad[2],
+               em_scale, sum_scale, got[_C_MESH], hitf, contf, inv_p)
+        return rad, new_o, new_d, new_thr, cont, aux
 
     return step
 
@@ -192,10 +206,10 @@ def _scene_bounds_np(scene: Scene):
 
 
 def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
-                 s_lo, s_hi):
+                 s_lo, s_hi, with_aux: bool = False):
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
                n_hiz, n_skip, n_start, st_ref, int_ref, tab_ref, out_ref,
-               iout_ref):
+               iout_ref, *aux_refs):
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
@@ -203,7 +217,8 @@ def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
         depth = depth_ref[0]
         sweep = _make_path_sweep(node, tab_ref, M)
         step = _make_bounce_step(sweep, emitter, seed, light_samples,
-                                 max_depth, fast_shadow=True)
+                                 max_depth, fast_shadow=True,
+                                 with_aux=with_aux)
 
         o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
         d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
@@ -213,8 +228,17 @@ def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
         pix = int_ref[0:1, :]
         samp = int_ref[1:2, :]
 
-        rad, new_o, new_d, new_thr, cont = step(pix, samp, depth, o, d,
-                                                thr, alive)
+        if with_aux:
+            (aux_ref,) = aux_refs
+            rad, new_o, new_d, new_thr, cont, aux = step(
+                pix, samp, depth, o, d, thr, alive)
+            for i, plane in enumerate(aux):
+                aux_ref[i:i + 1, :] = plane
+            aux_ref[15:16, :] = jnp.zeros((1, aux_ref.shape[1]),
+                                          jnp.float32)
+        else:
+            rad, new_o, new_d, new_thr, cont = step(pix, samp, depth,
+                                                    o, d, thr, alive)
         key = _coherence_key_planes(new_o, new_d, cont, s_lo, s_hi)
 
         out_ref[0:1, :] = new_o[0]
@@ -243,12 +267,24 @@ def _round_up(x: int, m: int) -> int:
 
 def build_bounce_call(num_nodes: int, max_depth: int, light_samples: int,
                       emitter, s_lo, s_hi, n_pad: int, ray_block: int,
-                      interpret: bool):
+                      interpret: bool, with_aux: bool = False):
     """The raw per-bounce kernel call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
-     ints [8, n_pad], tab) -> (state' [16, n_pad], ints' [8, n_pad])."""
+     ints [8, n_pad], tab) -> (state' [16, n_pad], ints' [8, n_pad]
+    [, aux [16, n_pad]]) — aux carries the replay planes
+    (_make_bounce_step with_aux) for the closed-form PRB trainer."""
     kernel = _make_kernel(num_nodes, max_depth, light_samples, emitter,
-                          s_lo, s_hi)
+                          s_lo, s_hi, with_aux=with_aux)
+    out_specs = (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                              memory_space=pltpu.VMEM))
+    out_shape = (jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+                 jax.ShapeDtypeStruct((8, n_pad), jnp.int32))
+    if with_aux:
+        out_specs += (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),)
+        out_shape += (jax.ShapeDtypeStruct((16, n_pad), jnp.float32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(n_pad // ray_block,),
@@ -257,28 +293,29 @@ def build_bounce_call(num_nodes: int, max_depth: int, light_samples: int,
                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                                memory_space=pltpu.VMEM)),
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((8, n_pad), jnp.int32)),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
 
-def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
-                              max_depth: int, light_samples: int = 2,
-                              ray_block: int = RAY_BLOCK,
-                              sort: bool = True,
-                              interpret: bool | None = None):
-    """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
-    fused kernel launch per bounce. Same scene gate as the BVH path
-    megakernel (solid materials, baked emitters)."""
+def build_forward_pipeline(scene: Scene, camera, *, samples: int,
+                           max_depth: int, light_samples: int = 2,
+                           ray_block: int = RAY_BLOCK,
+                           sort: bool = True,
+                           interpret: bool | None = None,
+                           with_aux: bool = False):
+    """The sorted-wavefront forward pass, shared by the renderer and the
+    closed-form PRB trainer: returns (pipeline, ctx) where
+    pipeline(seed) -> (st, it, dumps) with st/it the final [16, n_pad] /
+    [8, n_pad] wavefront state and dumps = () or, with_aux=True,
+    (aux [D+1, 16, n_pad], pix_d [D+1, n_pad], samp_d [D+1, n_pad]) —
+    per-depth replay planes in each depth's OWN lane order (realign by
+    the rider pix/samp). ctx carries the static geometry/bookkeeping."""
     if not bvh_path_supported(scene):
         raise ValueError("scene outside the bvh-path gate "
                          "(textures / emitters)")
@@ -314,7 +351,7 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         sizes.append(nxt)
     calls = {sz: build_bounce_call(num_nodes, max_depth, light_samples,
                                    emitter, s_lo, s_hi, sz, ray_block,
-                                   interpret)
+                                   interpret, with_aux=with_aux)
              for sz in sizes}
 
     from orion_tpu.ops.pallas_fused import camera_vec
@@ -343,8 +380,26 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         return pix, samp, x * 0 + cam_v[0], x * 0 + cam_v[1], \
             x * 0 + cam_v[2], dx, dy, dz
 
-    @jax.jit
-    def _impl(seed):
+    def run_call(sz, seed, depth, st, it):
+        """calls[sz] on the [:sz] prefix; suffix rides along; aux is
+        zero-padded to full width (suffix lanes are dead: no adjoints)."""
+        out = calls[sz](seed, depth, *node_scalars, st[:, :sz],
+                        it[:, :sz], tab)
+        stp, itp = out[0], out[1]
+        if sz != n_pad:
+            stp = jnp.concatenate([stp, st[:, sz:]], axis=1)
+            itp = jnp.concatenate([itp, it[:, sz:]], axis=1)
+        if not with_aux:
+            return stp, itp, ()
+        aux = out[2]
+        if sz != n_pad:
+            aux = jnp.concatenate(
+                [aux, jnp.zeros((16, n_pad - sz), jnp.float32)], axis=1)
+        # rider pix/samp for realignment: the LAUNCH order (itp == input
+        # its: the kernel passes ints through)
+        return stp, itp, (aux, itp[0], itp[1])
+
+    def pipeline(seed):
         pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0])
         st = jnp.zeros((16, n_pad), jnp.float32)
         st = st.at[0, :N].set(ox).at[1, :N].set(oy).at[2, :N].set(oz)
@@ -357,13 +412,7 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
 
         def make_kernel_branch(sz, depth):
             def branch(st, it):
-                stp, itp = calls[sz](seed, depth[None],
-                                     *node_scalars, st[:, :sz],
-                                     it[:, :sz], tab)
-                if sz == n_pad:
-                    return stp, itp
-                return (jnp.concatenate([stp, st[:, sz:]], axis=1),
-                        jnp.concatenate([itp, it[:, sz:]], axis=1))
+                return run_call(sz, seed, depth[None], st, it)
 
             return branch
 
@@ -389,9 +438,8 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
             st, it, prev = carry
             if not sort:
                 # unsorted: live lanes are scattered — no compaction
-                st, it = calls[n_pad](seed, depth[None], *node_scalars,
-                                      st, it, tab)
-                return (st, it, prev), None
+                st, it, dump = run_call(n_pad, seed, depth[None], st, it)
+                return (st, it, prev), dump
 
             st, it = jax.lax.switch(prev, [make_sort_branch(sz)
                                            for sz in sizes], st, it)
@@ -399,16 +447,48 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
             thresholds = jnp.asarray(sizes, jnp.int32)
             idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
                            len(sizes) - 1)
-            st, it = jax.lax.switch(idx, [make_kernel_branch(sz, depth)
-                                          for sz in sizes], st, it)
-            return (st, it, idx), None
+            st, it, dump = jax.lax.switch(
+                idx, [make_kernel_branch(sz, depth) for sz in sizes],
+                st, it)
+            return (st, it, idx), dump
 
         # depth 0 outside the scan: the primary wavefront's keys are all
         # zero (no sort needed) and every lane is live (no compaction)
-        st, it = calls[n_pad](seed, depth0, *node_scalars, st, it, tab)
-        (st, it, _), _ = jax.lax.scan(
+        st, it, dump0 = run_call(n_pad, seed, depth0, st, it)
+        (st, it, _), dumps = jax.lax.scan(
             body, (st, it, jnp.int32(0)),
             jnp.arange(1, max_depth + 1, dtype=jnp.int32))
+        if with_aux:
+            dumps = tuple(
+                jnp.concatenate([d0[None], ds], axis=0)
+                for d0, ds in zip(dump0, dumps))
+        else:
+            dumps = ()
+        return st, it, dumps
+
+    ctx = dict(H=H, W=W, n_pix=n_pix, N=N, n_pad=n_pad, sizes=sizes,
+               emitter=emitter, tab=tab, num_nodes=num_nodes,
+               node_scalars=node_scalars, cam_v=cam_v)
+    return pipeline, ctx
+
+
+def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
+                              max_depth: int, light_samples: int = 2,
+                              ray_block: int = RAY_BLOCK,
+                              sort: bool = True,
+                              interpret: bool | None = None):
+    """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
+    fused kernel launch per bounce. Same scene gate as the BVH path
+    megakernel (solid materials, baked emitters)."""
+    pipeline, ctx = build_forward_pipeline(
+        scene, camera, samples=samples, max_depth=max_depth,
+        light_samples=light_samples, ray_block=ray_block, sort=sort,
+        interpret=interpret)
+    n_pix, H, W = ctx["n_pix"], ctx["H"], ctx["W"]
+
+    @jax.jit
+    def _impl(seed):
+        st, it, _ = pipeline(seed)
         img = jnp.zeros((n_pix, 3), jnp.float32)
         img = img.at[it[0]].add(st[10:13].T, mode="drop",
                                 unique_indices=False)
