@@ -105,6 +105,27 @@ def main():
     print(f"no-walk:   {dt_nw:.3f}s  => main walk ~{dt - dt_nw:.3f}s",
           flush=True)
 
+    # --- lean-carry: walk carries ONE attr plane instead of 17 ---
+    def sweep_lean(node, tab_ref, M):
+        real = real_sweep_maker(node, tab_ref, M)
+
+        def sweep(o, d, attr_cols, alive=None, t_init=None):
+            t, hit, u, v, got = real(o, d, (0,), alive=alive,
+                                     t_init=t_init)
+            p = got[0]
+            return t, hit, u, v, {c: p for c in attr_cols}
+
+        sweep.any_hit = real.any_hit
+        sweep.shadow_em = real.shadow_em
+        sweep.shadow_em2 = real.shadow_em2
+        return sweep
+
+    with mock.patch.object(pbp, "_make_path_sweep", sweep_lean), \
+            mock.patch.object(pb, "_make_path_sweep", sweep_lean):
+        dt_lc, _ = timeit(build(scene, cam), key)
+    print(f"lean-carry:{dt_lc:.3f}s  => attr-carry cost ~{dt - dt_lc:.3f}s",
+          flush=True)
+
     # --- scaffold: kernel -> identity ---
     real_build = pb.build_bounce_call
     with mock.patch.object(

@@ -329,8 +329,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     N = n_pix * samples
     n_pad = _round_up(max(N, ray_block), ray_block)
 
-    node_scalars, tab, num_nodes = bvh_path_device_data(
-        scene, check_cap=not interpret)
+    node_scalars, tab, num_nodes, bvh = bvh_path_device_data(
+        scene, check_cap=not interpret, with_bvh=True)
     emitter = _emitters_consts(scene)
     s_lo, s_hi = _scene_bounds_np(scene)
 
@@ -380,7 +380,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         return pix, samp, x * 0 + cam_v[0], x * 0 + cam_v[1], \
             x * 0 + cam_v[2], dx, dy, dz
 
-    def run_call(sz, seed, depth, st, it):
+    def run_call(sz, seed, depth, st, it, tab):
         """calls[sz] on the [:sz] prefix; suffix rides along; aux is
         zero-padded to full width (suffix lanes are dead: no adjoints)."""
         out = calls[sz](seed, depth, *node_scalars, st[:, :sz],
@@ -399,7 +399,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         # its: the kernel passes ints through)
         return stp, itp, (aux, itp[0], itp[1])
 
-    def pipeline(seed):
+    def pipeline(seed, tab=tab):
         pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0])
         st = jnp.zeros((16, n_pad), jnp.float32)
         st = st.at[0, :N].set(ox).at[1, :N].set(oy).at[2, :N].set(oz)
@@ -412,7 +412,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
         def make_kernel_branch(sz, depth):
             def branch(st, it):
-                return run_call(sz, seed, depth[None], st, it)
+                return run_call(sz, seed, depth[None], st, it, tab)
 
             return branch
 
@@ -438,7 +438,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             st, it, prev = carry
             if not sort:
                 # unsorted: live lanes are scattered — no compaction
-                st, it, dump = run_call(n_pad, seed, depth[None], st, it)
+                st, it, dump = run_call(n_pad, seed, depth[None], st,
+                                        it, tab)
                 return (st, it, prev), dump
 
             st, it = jax.lax.switch(prev, [make_sort_branch(sz)
@@ -454,7 +455,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
         # depth 0 outside the scan: the primary wavefront's keys are all
         # zero (no sort needed) and every lane is live (no compaction)
-        st, it, dump0 = run_call(n_pad, seed, depth0, st, it)
+        st, it, dump0 = run_call(n_pad, seed, depth0, st, it, tab)
         (st, it, _), dumps = jax.lax.scan(
             body, (st, it, jnp.int32(0)),
             jnp.arange(1, max_depth + 1, dtype=jnp.int32))
@@ -468,7 +469,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
     ctx = dict(H=H, W=W, n_pix=n_pix, N=N, n_pad=n_pad, sizes=sizes,
                emitter=emitter, tab=tab, num_nodes=num_nodes,
-               node_scalars=node_scalars, cam_v=cam_v)
+               node_scalars=node_scalars, cam_v=cam_v, bvh=bvh)
     return pipeline, ctx
 
 
@@ -485,10 +486,11 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         light_samples=light_samples, ray_block=ray_block, sort=sort,
         interpret=interpret)
     n_pix, H, W = ctx["n_pix"], ctx["H"], ctx["W"]
+    tab0 = ctx["tab"]
 
     @jax.jit
-    def _impl(seed):
-        st, it, _ = pipeline(seed)
+    def _impl(seed, tab):
+        st, it, _ = pipeline(seed, tab)
         img = jnp.zeros((n_pix, 3), jnp.float32)
         img = img.at[it[0]].add(st[10:13].T, mode="drop",
                                 unique_indices=False)
@@ -496,7 +498,7 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         return img.reshape(H, W, 3) / np.float32(samples)
 
     def render_bounce(key) -> jax.Array:
-        return _impl(seed_scalar(key))
+        return _impl(seed_scalar(key), tab0)
 
     return render_bounce
 

@@ -84,10 +84,11 @@ def make_bounce_train_step(scene: Scene, camera, target, *, samples: int,
     em_mesh = ctx["emitter"][0][0] if isinstance(ctx["emitter"], list) \
         else ctx["emitter"][0]
     target = jnp.asarray(target, jnp.float32)
+    tab0 = ctx["tab"]
 
     @jax.jit
-    def _impl(seed):
-        st, it, (aux, pix_d, samp_d) = pipeline(seed)
+    def _impl(seed, tab):
+        st, it, (aux, pix_d, samp_d) = pipeline(seed, tab)
 
         # image + loss + per-pixel cotangent (binned trainer parity)
         img = jnp.zeros((n_pix, 3), jnp.float32)
@@ -162,18 +163,29 @@ def make_bounce_train_step(scene: Scene, camera, target, *, samples: int,
 
     if not dynamic_params:
         def step(key):
-            return _impl(seed_scalar(key))
+            return _impl(seed_scalar(key), tab0)
 
         return step
 
-    # dynamic mat_diffuse: rebuild the table rows in-graph and re-derive
-    # the pipeline around the traced table. The pipeline closure bakes
-    # `tab` at build time, so dynamic mode threads a fresh tab through a
-    # rebuilt pipeline per call via the updater.
-    raise NotImplementedError(
-        "dynamic_params: use optim's refit/tab-update route "
-        "(ops/prb_wavefront.make_binned_train_step) until the bounce "
-        "pipeline threads a traced table")
+    # dynamic mat_diffuse: rebuild the table's material rows in-graph
+    # (same tree) and thread the traced table through the pipeline.
+    # mat_emissive stays static: the fast-shadow NEE bakes ke as kernel
+    # constants, so a traced ke would silently decouple from the
+    # forward's values — optim routes such fits to the regenerative
+    # BVH-PRB step instead.
+    update = tab_updater_from_bvh(ctx["bvh"], scene)
+
+    def step_params(params, key):
+        bad = set(params) - {"mat_diffuse"}
+        if bad:
+            raise ValueError(
+                f"bounce-PRB differentiates mat_diffuse dynamically "
+                f"(fast-shadow ke is baked); got {sorted(bad)}")
+        s = dataclasses.replace(scene, **params)
+        loss, g = _impl(seed_scalar(key), update(s))
+        return loss, {k: g[k] for k in params}
+
+    return step_params
 
 
 def bounce_train_reference_grads(scene: Scene, camera, target, key, *,

@@ -439,9 +439,10 @@ def build_bvh_path_call(M, W, H, samples, max_depth, light_samples,
 
 def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
                          order_signs=(1.0, 1.0, 1.0),
-                         check_cap: bool = True):
-    """(node_scalars tuple, tab, num_nodes): the replicated device inputs
-    every chip's kernel shares."""
+                         check_cap: bool = True, with_bvh: bool = False):
+    """(node_scalars tuple, tab, num_nodes[, bvh]): the replicated device
+    inputs every chip's kernel shares (with_bvh additionally returns the
+    host-side tree, for in-graph material-row updaters)."""
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
                        np.asarray(scene.tri_e2),
                        np.asarray(scene.tri_valid), strategy=strategy,
@@ -456,6 +457,8 @@ def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
         [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
         + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
         + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    if with_bvh:
+        return node_scalars, tab, bvh.num_nodes, bvh
     return node_scalars, tab, bvh.num_nodes
 
 

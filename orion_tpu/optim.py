@@ -171,8 +171,22 @@ def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
                                      samples=samples, max_depth=max_depth,
                                      light_samples=light_samples,
                                      dynamic_params=True)
-    # past the brute gate: the BVH-PRB step (tree built once, material
-    # rows substituted in-graph each call)
+    # past the brute gate: the closed-form bounce-PRB (sorted wavefront,
+    # backward is pure math over forward dumps — ~6.5x the regenerative
+    # megakernel at 35k tris) for diffuse-only fits; mat_emissive fits
+    # fall through to the regenerative step (fast-shadow ke is baked)
+    if set(params) <= {"mat_diffuse"}:
+        from orion_tpu.ops.pallas_bounce_prb import (
+            make_bounce_train_step, wavefront_train_supported)
+
+        if wavefront_train_supported(ps.scene):
+            try:
+                return make_bounce_train_step(
+                    ps.scene, ps.camera, target, samples=samples,
+                    max_depth=max_depth, light_samples=light_samples,
+                    dynamic_params=True)
+            except ValueError:
+                pass  # over the residency cap
     from orion_tpu.ops.pallas_bvh_prb import (bvh_train_supported,
                                               make_bvh_train_step)
 
