@@ -11,9 +11,9 @@ N back-to-back dispatches + one value fetch:
   full      : the production renderer
   no-nee    : _make_nee patched to visible := hit, no shadow walk
               (light normal/ke still consts) -> shadow-walk share
-  no-walk   : main attribute sweep patched to a fixed trivial hit
-              (t=1, row-0 attrs) -> main-walk share
-  scaffold  : kernel patched to identity -> sort/permute/switch share
+  scaffold  : kernels patched to identity -> sort/permute/gather/
+              switch share (the lean-walk/attr-gather split landed;
+              the old no-walk/lean-carry probes are moot)
 
 Run on real TPU: python experiments/exp_bounce_anatomy.py
 """
@@ -82,62 +82,19 @@ def main():
     print(f"no-nee:    {dt_nn:.3f}s  => shadow walks ~{dt - dt_nn:.3f}s "
           f"mean={float(img_nn.mean()):.5f}", flush=True)
 
-    # --- no-walk: main sweep returns a fixed trivial hit ---
-    real_sweep_maker = pbp._make_path_sweep
-
-    def sweep_trivial(node, tab_ref, M):
-        real = real_sweep_maker(node, tab_ref, M)
-
-        def sweep(o, d, attr_cols, alive=None, t_init=None):
-            shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
-            one = jnp.ones(shape, jnp.float32)
-            hit = (jnp.ones(shape, bool) if alive is None else alive)
-            got = {c: tab_ref[c:c + 1, 0:1] * one for c in attr_cols}
-            return one, hit, 0.3 * one, 0.3 * one, got
-
-        sweep.any_hit = real.any_hit
-        sweep.shadow_em = real.shadow_em
-        return sweep
-
-    with mock.patch.object(pbp, "_make_path_sweep", sweep_trivial), \
-            mock.patch.object(pb, "_make_path_sweep", sweep_trivial):
-        dt_nw, _ = timeit(build(scene, cam), key)
-    print(f"no-walk:   {dt_nw:.3f}s  => main walk ~{dt - dt_nw:.3f}s",
-          flush=True)
-
-    # --- lean-carry: walk carries ONE attr plane instead of 17 ---
-    def sweep_lean(node, tab_ref, M):
-        real = real_sweep_maker(node, tab_ref, M)
-
-        def sweep(o, d, attr_cols, alive=None, t_init=None):
-            t, hit, u, v, got = real(o, d, (0,), alive=alive,
-                                     t_init=t_init)
-            p = got[0]
-            return t, hit, u, v, {c: p for c in attr_cols}
-
-        sweep.any_hit = real.any_hit
-        sweep.shadow_em = real.shadow_em
-        sweep.shadow_em2 = real.shadow_em2
-        return sweep
-
-    with mock.patch.object(pbp, "_make_path_sweep", sweep_lean), \
-            mock.patch.object(pb, "_make_path_sweep", sweep_lean):
-        dt_lc, _ = timeit(build(scene, cam), key)
-    print(f"lean-carry:{dt_lc:.3f}s  => attr-carry cost ~{dt - dt_lc:.3f}s",
-          flush=True)
-
-    # --- scaffold: kernel -> identity ---
-    real_build = pb.build_bounce_call
+    # --- scaffold: both kernels -> identity (gather still runs) ---
     with mock.patch.object(
-            pb, "build_bounce_call",
-            lambda *a, **k: lambda seed, depth, *rest: (rest[-3],
-                                                        rest[-2])):
+            pb, "build_walk_call",
+            lambda num_nodes, n_pad, rb, interp:
+            lambda *rest: jnp.zeros((8, rest[-2].shape[1]),
+                                    jnp.float32)), \
+            mock.patch.object(
+                pb, "build_shade_call",
+                lambda *a, **k: lambda seed, depth, *rest: (rest[-5],
+                                                            rest[-4])):
         dt_sc, _ = timeit(build(scene, cam), key)
-    print(f"scaffold:  {dt_sc:.3f}s  (sort+permute+switch+scatter)",
-        flush=True)
-
-    # --- per-depth live fractions (occupancy ground truth) ---
-    assert pb.build_bounce_call is real_build
+    print(f"scaffold:  {dt_sc:.3f}s  (sort+permute+gather+switch+scatter)",
+          flush=True)
 
 
 if __name__ == "__main__":

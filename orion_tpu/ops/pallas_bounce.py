@@ -205,18 +205,84 @@ def _scene_bounds_np(scene: Scene):
     return pts.min(axis=0), pts.max(axis=0)
 
 
-def _make_kernel(M: int, max_depth: int, light_samples: int, emitter,
-                 s_lo, s_hi, with_aux: bool = False):
+def _make_walk_kernel(M: int):
+    """Phase 1 of a bounce: the lean nearest-hit walk. Reads (o, d,
+    alive) from the state rows, writes [8, rb]: t, u, v, global winner
+    row, hitf (rows 5-7 zero). The 4-plane carry keeps the while loop
+    in vector registers — the fused kernel's 20-plane carry measured
+    ~1.1s of the 1.58s flagship pipeline (exp_bounce_anatomy
+    'lean-carry'); winner attributes are HBM-gathered by row between
+    the phases instead."""
+    def kernel(n_lox, n_loy, n_loz, n_hix, n_hiy, n_hiz, n_skip,
+               n_start, st_ref, tab_ref, out_ref):
+        node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
+                "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
+                "skip": n_skip, "start": n_start}
+        sweep = _make_path_sweep(node, tab_ref, M)
+        o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
+        d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
+        alive = st_ref[9:10, :] > 0.0
+        t, hit, u, v, row = sweep.lean(o, d, alive=alive)
+        out_ref[0:1, :] = t
+        out_ref[1:2, :] = u
+        out_ref[2:3, :] = v
+        out_ref[3:4, :] = row
+        out_ref[4:5, :] = hit.astype(jnp.float32)
+        out_ref[5:8, :] = jnp.zeros((3, out_ref.shape[1]), jnp.float32)
+
+    return kernel
+
+
+def build_walk_call(num_nodes: int, n_pad: int, ray_block: int,
+                    interpret: bool):
+    """(*node_scalars, state [16, n_pad], tab) -> hitdata [8, n_pad]."""
+    kernel = _make_walk_kernel(num_nodes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
+                       emitter, s_lo, s_hi, with_aux: bool = False):
+    """Phase 2 of a bounce: shading over the walk's precomputed hit data
+    and the HBM-gathered winner attribute rows — the NEE shadow walks
+    (fused dual-sample, lean carries) run here against the resident
+    tree; the main walk never re-runs."""
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
-               n_hiz, n_skip, n_start, st_ref, int_ref, tab_ref, out_ref,
-               iout_ref, *aux_refs):
+               n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
+               attr_ref, tab_ref, out_ref, iout_ref, *aux_refs):
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
         seed = seed_ref[0]
         depth = depth_ref[0]
-        sweep = _make_path_sweep(node, tab_ref, M)
-        step = _make_bounce_step(sweep, emitter, seed, light_samples,
+        real = _make_path_sweep(node, tab_ref, M)
+        hitf = hit_ref[4:5, :]
+
+        def pre_sweep(o, d, attr_cols, alive=None, t_init=None):
+            # the walk already applied `alive` and mapped misses to
+            # _BIG; attribute planes are zeroed for missed lanes to
+            # match the fused kernel's no-pick zeros bitwise
+            hit = hitf > 0.0
+            got = {c: attr_ref[c:c + 1, :] * hitf for c in attr_cols}
+            return (hit_ref[0:1, :], hit, hit_ref[1:2, :],
+                    hit_ref[2:3, :], got)
+
+        pre_sweep.shadow_em = real.shadow_em
+        pre_sweep.shadow_em2 = real.shadow_em2
+        step = _make_bounce_step(pre_sweep, emitter, seed, light_samples,
                                  max_depth, fast_shadow=True,
                                  with_aux=with_aux)
 
@@ -265,16 +331,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def build_bounce_call(num_nodes: int, max_depth: int, light_samples: int,
-                      emitter, s_lo, s_hi, n_pad: int, ray_block: int,
-                      interpret: bool, with_aux: bool = False):
-    """The raw per-bounce kernel call:
+def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
+                     emitter, s_lo, s_hi, n_pad: int, ray_block: int,
+                     interpret: bool, with_aux: bool = False):
+    """The per-bounce shade call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
-     ints [8, n_pad], tab) -> (state' [16, n_pad], ints' [8, n_pad]
-    [, aux [16, n_pad]]) — aux carries the replay planes
-    (_make_bounce_step with_aux) for the closed-form PRB trainer."""
-    kernel = _make_kernel(num_nodes, max_depth, light_samples, emitter,
-                          s_lo, s_hi, with_aux=with_aux)
+     ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad], tab)
+    -> (state' [16, n_pad], ints' [8, n_pad][, aux [16, n_pad]]) —
+    aux carries the replay planes (_make_bounce_step with_aux) for the
+    closed-form PRB trainer."""
+    kernel = _make_shade_kernel(num_nodes, max_depth, light_samples,
+                                emitter, s_lo, s_hi, with_aux=with_aux)
     out_specs = (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -291,6 +358,10 @@ def build_bounce_call(num_nodes: int, max_depth: int, light_samples: int,
         in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_specs,
@@ -349,10 +420,15 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         if nxt >= sizes[-1] or nxt < ray_block:
             break
         sizes.append(nxt)
-    calls = {sz: build_bounce_call(num_nodes, max_depth, light_samples,
-                                   emitter, s_lo, s_hi, sz, ray_block,
-                                   interpret, with_aux=with_aux)
-             for sz in sizes}
+    walk_calls = {sz: build_walk_call(num_nodes, sz, ray_block,
+                                      interpret)
+                  for sz in sizes}
+    shade_calls = {sz: build_shade_call(num_nodes, max_depth,
+                                        light_samples, emitter, s_lo,
+                                        s_hi, sz, ray_block, interpret,
+                                        with_aux=with_aux)
+                   for sz in sizes}
+    B_pad = int(tab.shape[1])
 
     from orion_tpu.ops.pallas_fused import camera_vec
     cam_v = camera_vec(camera)
@@ -381,10 +457,15 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             x * 0 + cam_v[2], dx, dy, dz
 
     def run_call(sz, seed, depth, st, it, tab):
-        """calls[sz] on the [:sz] prefix; suffix rides along; aux is
-        zero-padded to full width (suffix lanes are dead: no adjoints)."""
-        out = calls[sz](seed, depth, *node_scalars, st[:, :sz],
-                        it[:, :sz], tab)
+        """One bounce on the [:sz] prefix: lean walk kernel -> HBM
+        attribute gather by winner row -> shade kernel. Suffix rides
+        along; aux is zero-padded to full width (suffix lanes are dead:
+        no adjoints)."""
+        hitdata = walk_calls[sz](*node_scalars, st[:, :sz], tab)
+        rows = jnp.clip(hitdata[3].astype(jnp.int32), 0, B_pad - 1)
+        attrs = tab[:, rows]
+        out = shade_calls[sz](seed, depth, *node_scalars, st[:, :sz],
+                              it[:, :sz], hitdata, attrs, tab)
         stp, itp = out[0], out[1]
         if sz != n_pad:
             stp = jnp.concatenate([stp, st[:, sz:]], axis=1)

@@ -375,9 +375,77 @@ def _make_path_sweep(node, tab_ref, M):
             vis1 = vis1 & alive1
         return vis0, vis1
 
+    def lean(o, d, alive=None, t_init=None):
+        """Nearest-hit walk carrying ONLY (t, u, v, global winner row) —
+        4 planes instead of 3 + |attr_cols|. The full-attribute carry
+        measured ~1.1s of the 1.58s flagship bounce pipeline (register
+        spills: ~20 [1, RB] planes through every while step —
+        experiments/exp_bounce_anatomy.py 'lean-carry'); attributes are
+        gathered from the table by row AFTER the walk instead. Winner
+        semantics identical to the attribute sweep (min t, ties by
+        bundled row; same slab votes, same node sequence)."""
+        cap = _BIG if t_init is None else np.float32(t_init)
+        inv = (1.0 / d[0], 1.0 / d[1], 1.0 / d[2])
+        shape = jnp.broadcast_shapes(o[0].shape, d[0].shape)
+        zero = jnp.zeros(shape, jnp.float32)
+        t0 = (jnp.full(shape, cap) if alive is None
+              else jnp.where(alive, cap, -_BIG))
+
+        def body(carry):
+            ptr, t_b, u_b, v_b, r_b = carry
+            lane_hit = _slab(ptr, o, inv, t_b)
+            any_lane = jnp.any(lane_hit)
+            start = node["start"][ptr]
+            is_leaf = start >= 0
+
+            def leaf_case(state):
+                t_b, u_b, v_b, r_b = state
+                _, t, u, v = _leaf_planes(start, o, d)
+                t_min = jnp.min(t, axis=0, keepdims=True)
+                better = (t_min < t_b) & (t_min < _BIG)
+
+                def do_picks(state):
+                    t_b, u_b, v_b, r_b = state
+                    row_min = jnp.min(
+                        jnp.where(t == t_min, row_idx, jnp.int32(2**30)),
+                        axis=0, keepdims=True)
+                    sel = row_idx == row_min
+
+                    def pick(p):
+                        return jnp.sum(jnp.where(sel, p, 0.0), axis=0,
+                                       keepdims=True)
+
+                    off = pl.multiple_of(jnp.maximum(start, 0),
+                                         LEAF_WIDTH)
+                    g_row = (row_min.astype(jnp.float32)
+                             + off.astype(jnp.float32))
+                    return (jnp.where(better, t_min, t_b),
+                            jnp.where(better, pick(u), u_b),
+                            jnp.where(better, pick(v), v_b),
+                            jnp.where(better, g_row, r_b))
+
+                return jax.lax.cond(jnp.any(better), do_picks,
+                                    lambda s: s, state)
+
+            t_b, u_b, v_b, r_b = jax.lax.cond(
+                any_lane & is_leaf, leaf_case, lambda s: s,
+                (t_b, u_b, v_b, r_b))
+            descend = any_lane & jnp.logical_not(is_leaf)
+            ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
+            return ptr, t_b, u_b, v_b, r_b
+
+        _, t_b, u_b, v_b, r_b = jax.lax.while_loop(
+            lambda c: c[0] < M, body,
+            (jnp.int32(0), t0, zero, zero, zero))
+        hit = t_b < cap
+        if alive is not None:
+            hit = hit & alive
+        return jnp.where(hit, t_b, _BIG), hit, u_b, v_b, r_b
+
     sweep.any_hit = any_hit
     sweep.shadow_em = shadow_em
     sweep.shadow_em2 = shadow_em2
+    sweep.lean = lean
     return sweep
 
 
