@@ -414,12 +414,14 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     # lax.switches to the smallest variant covering its live count and
     # leaves the dead suffix untouched (its pixel ids + accumulated
     # radiance persist for the final scatter).
+    # ladder with 3/4 steps: live fractions decay ~geometrically with
+    # ratio ~max(kd) (~0.7-0.85 on cornell walls), so pure halving
+    # wastes up to half a launch at the top of each bucket
     sizes = [n_pad]
-    while len(sizes) < 5:
-        nxt = _round_up(sizes[-1] // 2, ray_block)
-        if nxt >= sizes[-1] or nxt < ray_block:
-            break
-        sizes.append(nxt)
+    for f in (0.75, 0.5, 0.375, 0.25, 0.125, 0.0625):
+        nxt = _round_up(int(n_pad * f), ray_block)
+        if nxt < sizes[-1] and nxt >= ray_block:
+            sizes.append(nxt)
     walk_calls = {sz: build_walk_call(num_nodes, sz, ray_block,
                                       interpret)
                   for sz in sizes}

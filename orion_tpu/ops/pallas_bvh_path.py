@@ -45,7 +45,7 @@ from orion_tpu.ops.pallas_fused import (_BIG, _C_AREA, _C_KD, _C_KE,
                                         FUSED_MAX_EMITTERS, _emitters_consts,
                                         _make_regen_body, camera_vec,
                                         seed_scalar)
-from orion_tpu.ops.woop import woop_rows
+from orion_tpu.ops.woop import woop_rows, woop_t2
 from orion_tpu.scene import Scene
 
 RAY_BLOCK = 256   # the BVH megakernels' measured best block width
@@ -349,8 +349,13 @@ def _make_path_sweep(node, tab_ref, M):
 
             def leaf_case(state):
                 t_b0, em_f0, t_b1, em_f1 = state
-                blk_t, t0, _, _ = _leaf_planes(start, o, d0)
-                t1, _, _ = _woop_uv(o, d1, blk_t)
+                off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+                blk_t = tab_ref[:, pl.ds(off, LEAF_WIDTH)].T
+                w = tuple(blk_t[:, _C_WOOP + i:_C_WOOP + i + 1]
+                          for i in range(13))
+                # shared-origin dual Woop: both rays leave the same hit
+                # point, so the origin transform is computed once
+                t0, t1 = woop_t2(o, d0, d1, w)
                 leaf_em = jnp.broadcast_to(
                     blk_t[:, _C_MESH:_C_MESH + 1] == exm, t0.shape)
                 t_b0, em_f0 = em_win(t0, t_b0, em_f0, leaf_em)

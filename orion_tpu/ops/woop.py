@@ -107,3 +107,27 @@ def woop_tuv(o, d, w):
 def woop_t(o, d, w):
     """Masked t plane only (any-hit / nearest-t sweeps)."""
     return woop_tuv(o, d, w)[0]
+
+
+def woop_t2(o, d0, d1, w):
+    """Masked t planes for TWO rays sharing one origin (the fused
+    dual-sample NEE shadow walk): the origin transform (ou, ov, ow —
+    ~half the per-leaf ops) is computed once and shared; per-ray work
+    is the direction transform + the hit mask. Bit-identical to two
+    woop_t calls (same expressions, same order)."""
+    ou = w[0] * o[0] + w[1] * o[1] + w[2] * o[2] + w[9]
+    ov = w[3] * o[0] + w[4] * o[1] + w[5] * o[2] + w[10]
+    ow = w[6] * o[0] + w[7] * o[1] + w[8] * o[2] + w[11]
+
+    def one(d):
+        du = w[0] * d[0] + w[1] * d[1] + w[2] * d[2]
+        dv = w[3] * d[0] + w[4] * d[1] + w[5] * d[2]
+        dw = w[6] * d[0] + w[7] * d[1] + w[8] * d[2]
+        t = -ow / dw
+        u = ou + t * du
+        v = ov + t * dv
+        ok = (jnp.abs(dw) * w[12] > MT_EPS) & (u >= 0.0) & (u <= 1.0) \
+            & (v >= 0.0) & (u + v <= 1.0) & (t >= 0.0)
+        return jnp.where(ok, t, _BIG)
+
+    return one(d0), one(d1)
