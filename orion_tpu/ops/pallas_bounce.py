@@ -422,7 +422,14 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         nxt = _round_up(int(n_pad * f), ray_block)
         if nxt < sizes[-1] and nxt >= ray_block:
             sizes.append(nxt)
-    walk_calls = {sz: build_walk_call(num_nodes, sz, ray_block,
+    # the lean walk kernel's VMEM footprint is small (24 state rows +
+    # the table), so it runs at a wider block than the shade kernel:
+    # the block-uniform union amortizes over more rays (union-sim
+    # it/aliveray falls monotonically with block width)
+    walk_block = max(ray_block, 1024)
+    while any(sz % walk_block for sz in sizes):
+        walk_block //= 2
+    walk_calls = {sz: build_walk_call(num_nodes, sz, walk_block,
                                       interpret)
                   for sz in sizes}
     shade_calls = {sz: build_shade_call(num_nodes, max_depth,
