@@ -97,7 +97,7 @@ def wavefront_rays(seed, cam_v, W: int, H: int, samples: int):
 
 def _make_bounce_step(sweep, emitter, seed, light_samples: int,
                       max_depth: int, fast_shadow: bool = False,
-                      with_aux: bool = False):
+                      with_aux: bool = False, nee_vis=None):
     """One path bounce over component planes; array-library agnostic
     (kernel refs or plain jnp). Returns
     step(pix, samp, depth, o, d, thr, alive) ->
@@ -120,7 +120,7 @@ def _make_bounce_step(sweep, emitter, seed, light_samples: int,
 
     def step(pix, samp, depth, o, d, thr, alive):
         nee = _make_nee(sweep, emitter, seed, pix, light_samples,
-                        fast_shadow=fast_shadow)
+                        fast_shadow=fast_shadow, vis_planes=nee_vis)
         ox, oy, oz = o
         dx, dy, dz = d
         tr, tg, tb = thr
@@ -254,15 +254,89 @@ def build_walk_call(num_nodes: int, n_pad: int, ray_block: int,
     )
 
 
+def _make_vis_kernel(M: int, light_samples: int, emitter):
+    """Phase 2 of a bounce: the fused dual-sample NEE visibility walk,
+    standalone — its lean carries (one pointer, two t/flag pairs) fit a
+    wider block than the shade kernel's working set allows, and the
+    shade kernel then runs walk-free. Same draws, same walk, same
+    gating as the in-shade path (bit-identical vis planes)."""
+    def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
+               n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
+               attr_ref, tab_ref, out_ref):
+        node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
+                "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
+                "skip": n_skip, "start": n_start}
+        seed = seed_ref[0]
+        depth = depth_ref[0]
+        real = _make_path_sweep(node, tab_ref, M)
+        hitf = hit_ref[4:5, :]
+        hit = hitf > 0.0
+        t = hit_ref[0:1, :]
+        u = hit_ref[1:2, :]
+        v = hit_ref[2:3, :]
+        got = {c: attr_ref[c:c + 1, :] * hitf for c in _BOUNCE_ATTRS}
+        o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
+        d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
+        h = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
+        sn = _interp_n(u, v, got, _C_N0, _C_N0 + 3, _C_N0 + 6)
+        gn = _gn_from_got(got)
+        pix = int_ref[0:1, :]
+        samp = int_ref[1:2, :]
+        nee_vis = _make_nee(real, emitter, seed, pix, light_samples,
+                            fast_shadow=True, vis_only=True)
+        v0, v1 = nee_vis(samp, depth, h, gn, tuple(sn), hit)
+        out_ref[0:1, :] = v0
+        out_ref[1:2, :] = v1
+        out_ref[2:8, :] = jnp.zeros((6, out_ref.shape[1]), jnp.float32)
+
+    return kernel
+
+
+def build_vis_call(num_nodes: int, light_samples: int, emitter,
+                   n_pad: int, ray_block: int, interpret: bool):
+    """(seed [1], depth [1], *node_scalars, state [16, n_pad],
+    ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad], tab)
+    -> vis [8, n_pad] (rows 0-1: the pair visibility planes)."""
+    kernel = _make_vis_kernel(num_nodes, light_samples, emitter)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(n_pad // ray_block,),
+        in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
 def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
-                       emitter, s_lo, s_hi, with_aux: bool = False):
+                       emitter, s_lo, s_hi, with_aux: bool = False,
+                       split_vis: bool = False):
     """Phase 2 of a bounce: shading over the walk's precomputed hit data
     and the HBM-gathered winner attribute rows — the NEE shadow walks
     (fused dual-sample, lean carries) run here against the resident
     tree; the main walk never re-runs."""
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
                n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
-               attr_ref, tab_ref, out_ref, iout_ref, *aux_refs):
+               attr_ref, *rest):
+        if split_vis:
+            vis_ref, tab_ref, out_ref, iout_ref, *aux_refs = rest
+            nee_vis = (vis_ref[0:1, :], vis_ref[1:2, :])
+        else:
+            tab_ref, out_ref, iout_ref, *aux_refs = rest
+            nee_vis = None
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
@@ -284,7 +358,7 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
         pre_sweep.shadow_em2 = real.shadow_em2
         step = _make_bounce_step(pre_sweep, emitter, seed, light_samples,
                                  max_depth, fast_shadow=True,
-                                 with_aux=with_aux)
+                                 with_aux=with_aux, nee_vis=nee_vis)
 
         o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
         d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
@@ -333,15 +407,19 @@ def _round_up(x: int, m: int) -> int:
 
 def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                      emitter, s_lo, s_hi, n_pad: int, ray_block: int,
-                     interpret: bool, with_aux: bool = False):
+                     interpret: bool, with_aux: bool = False,
+                     split_vis: bool = False):
     """The per-bounce shade call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
-     ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad], tab)
+     ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad]
+     [, vis [8, n_pad]], tab)
     -> (state' [16, n_pad], ints' [8, n_pad][, aux [16, n_pad]]) —
     aux carries the replay planes (_make_bounce_step with_aux) for the
-    closed-form PRB trainer."""
+    closed-form PRB trainer; split_vis consumes the standalone vis
+    kernel's planes instead of walking shadows here."""
     kernel = _make_shade_kernel(num_nodes, max_depth, light_samples,
-                                emitter, s_lo, s_hi, with_aux=with_aux)
+                                emitter, s_lo, s_hi, with_aux=with_aux,
+                                split_vis=split_vis)
     out_specs = (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -352,18 +430,23 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
         out_specs += (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),)
         out_shape += (jax.ShapeDtypeStruct((16, n_pad), jnp.float32),)
+    in_specs = [pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM)]
+    if split_vis:
+        in_specs.append(pl.BlockSpec((8, ray_block),
+                                     lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(n_pad // ray_block,),
-        in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=out_specs,
     )
     return pl.pallas_call(
@@ -379,7 +462,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
                            ray_block: int = RAY_BLOCK,
                            sort: bool = True,
                            interpret: bool | None = None,
-                           with_aux: bool = False):
+                           with_aux: bool = False,
+                           split_vis: bool = False):
     """The sorted-wavefront forward pass, shared by the renderer and the
     closed-form PRB trainer: returns (pipeline, ctx) where
     pipeline(seed) -> (st, it, dumps) with st/it the final [16, n_pad] /
@@ -432,10 +516,23 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     walk_calls = {sz: build_walk_call(num_nodes, sz, walk_block,
                                       interpret)
                   for sz in sizes}
+    # the fused dual shadow walk CAN run standalone at the wide block
+    # (single-emitter ls==2 pair path; the shade kernel is then
+    # walk-free) — measured NEGATIVE on the flagship config (1.306s
+    # split vs 1.257s fused at vis_block=1024: the extra launch + the
+    # re-read of the 64-row working set outweigh the wider union
+    # amortization; 2048 exceeds VMEM with the resident table), so the
+    # split stays off unless requested
+    n_emitters = len(emitter) if isinstance(emitter, list) else 1
+    split_vis = bool(split_vis) and light_samples == 2 and n_emitters == 1
+    vis_calls = {sz: build_vis_call(num_nodes, light_samples, emitter,
+                                    sz, walk_block, interpret)
+                 for sz in sizes} if split_vis else None
     shade_calls = {sz: build_shade_call(num_nodes, max_depth,
                                         light_samples, emitter, s_lo,
                                         s_hi, sz, ray_block, interpret,
-                                        with_aux=with_aux)
+                                        with_aux=with_aux,
+                                        split_vis=split_vis)
                    for sz in sizes}
     B_pad = int(tab.shape[1])
 
@@ -473,8 +570,16 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         hitdata = walk_calls[sz](*node_scalars, st[:, :sz], tab)
         rows = jnp.clip(hitdata[3].astype(jnp.int32), 0, B_pad - 1)
         attrs = tab[:, rows]
-        out = shade_calls[sz](seed, depth, *node_scalars, st[:, :sz],
-                              it[:, :sz], hitdata, attrs, tab)
+        if split_vis:
+            vis = vis_calls[sz](seed, depth, *node_scalars, st[:, :sz],
+                                it[:, :sz], hitdata, attrs, tab)
+            out = shade_calls[sz](seed, depth, *node_scalars,
+                                  st[:, :sz], it[:, :sz], hitdata,
+                                  attrs, vis, tab)
+        else:
+            out = shade_calls[sz](seed, depth, *node_scalars,
+                                  st[:, :sz], it[:, :sz], hitdata,
+                                  attrs, tab)
         stp, itp = out[0], out[1]
         if sz != n_pad:
             stp = jnp.concatenate([stp, st[:, sz:]], axis=1)
@@ -567,14 +672,15 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
                               max_depth: int, light_samples: int = 2,
                               ray_block: int = RAY_BLOCK,
                               sort: bool = True,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              split_vis: bool = False):
     """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
     fused kernel launch per bounce. Same scene gate as the BVH path
     megakernel (solid materials, baked emitters)."""
     pipeline, ctx = build_forward_pipeline(
         scene, camera, samples=samples, max_depth=max_depth,
         light_samples=light_samples, ray_block=ray_block, sort=sort,
-        interpret=interpret)
+        interpret=interpret, split_vis=split_vis)
     n_pix, H, W = ctx["n_pix"], ctx["H"], ctx["W"]
     tab0 = ctx["tab"]
 

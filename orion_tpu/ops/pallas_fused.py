@@ -549,7 +549,7 @@ NEE_T_CAP = np.float32(1.05)   # shadow-segment cap (see sweep call below)
 
 
 def _make_nee(sweep, emitter, seed, pix, light_samples,
-              fast_shadow=False):
+              fast_shadow=False, vis_planes=None, vis_only=False):
     """NEE against the emissive meshes (raytracer.cpp:133-159): one shadow
     sweep per (mesh, light sample); contribution iff the NEAREST shadow
     hit lands on the sampled mesh.
@@ -576,9 +576,20 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
     (sampled (a, b) vs the walk's recomputed Woop (u, v) — ~1e-6), and
     nearest-hit ties ACROSS meshes resolving pro-emitter instead of by
     bundled row. NOTE: ke rides as a baked constant — material-training
-    paths keep fast_shadow=False so d/d(mat_emissive) stays live."""
+    paths keep fast_shadow=False so d/d(mat_emissive) stays live.
+
+    vis_planes=(v0, v1): precomputed fused-pair visibility (f32 0/1
+    planes from a standalone vis kernel — see vis_only) consumed
+    instead of walking; single-emitter ls==2 fast path only.
+    vis_only=True: nee(...) instead RETURNS the pair visibility planes
+    (f32) after the fused walk and skips all contribution math — the
+    standalone producer for vis_planes."""
     emitters = emitter if isinstance(emitter, list) else [emitter]
     inv_ls = np.float32(1.0 / light_samples)
+    if (vis_planes is not None or vis_only) and not (
+            fast_shadow and light_samples == 2 and len(emitters) == 1):
+        raise ValueError("split NEE visibility needs the fast-shadow "
+                         "single-emitter ls==2 pair path")
 
     def nee(samp, depth, h, gn, sn, hit):
         hx, hy, hz = h
@@ -592,7 +603,8 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
         shadow_em2 = getattr(sweep, "shadow_em2", None)
         for mi, em in enumerate(emitters):
             if (fast_shadow and light_samples == 2
-                    and shadow_em2 is not None):
+                    and (shadow_em2 is not None
+                         or vis_planes is not None)):
                 # FUSED dual-sample visibility: both light samples of
                 # this mesh share one walk (one scalar chain, two
                 # t-carries) — value-identical to two shadow_em walks
@@ -602,10 +614,19 @@ def _make_nee(sweep, emitter, seed, pix, light_samples,
                 d1 = draw_fast(samp, depth, (hx, hy, hz),
                                (snx, sny, snz), hit, em,
                                1 + light_samples * mi)
-                vis0, vis1 = shadow_em2(
-                    (sox, soy, soz), d0["sd"], d1["sd"],
-                    alive0=d0["need"], alive1=d1["need"],
-                    t_cap=NEE_T_CAP, em_mesh=d0["em_mesh"])
+                if vis_planes is not None:
+                    vis0 = vis_planes[0] > 0.0
+                    vis1 = vis_planes[1] > 0.0
+                else:
+                    vis0, vis1 = shadow_em2(
+                        (sox, soy, soz), d0["sd"], d1["sd"],
+                        alive0=d0["need"], alive1=d1["need"],
+                        t_cap=NEE_T_CAP, em_mesh=d0["em_mesh"])
+                    vis0 = vis0 & d0["need"]
+                    vis1 = vis1 & d1["need"]
+                if vis_only:
+                    return (vis0.astype(jnp.float32),
+                            vis1.astype(jnp.float32))
                 for dd, vis in ((d0, vis0), (d1, vis1)):
                     scale = jnp.where(
                         vis, dd["geom"] * dd["lwt"] / (1.0 + dd["d2"])

@@ -74,3 +74,18 @@ def test_matches_wavefront_statistically(cornell):
     img_w = np.asarray(render(scene, cam, key, samples=16, max_depth=4,
                               light_samples=2, mode="path"))
     assert abs(img_k.mean() - img_w.mean()) / img_w.mean() < 0.05
+
+
+def test_split_vis_matches_fused(cornell):
+    """The standalone NEE-visibility kernel (split_vis=True; measured
+    slower on TPU, kept as an option) produces the identical image."""
+    scene, rtc = cornell
+    rtc.xres = rtc.yres = 16
+    cam = camera_from_rtc(rtc)
+    key = jax.random.key(7)
+    img_f = np.asarray(make_bounce_path_renderer(
+        scene, cam, samples=2, max_depth=3, light_samples=2)(key))
+    img_s = np.asarray(make_bounce_path_renderer(
+        scene, cam, samples=2, max_depth=3, light_samples=2,
+        split_vis=True)(key))
+    np.testing.assert_allclose(img_s, img_f, rtol=1e-6, atol=1e-7)
