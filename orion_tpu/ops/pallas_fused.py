@@ -821,7 +821,7 @@ _BOUNCE_ATTRS = (tuple(range(_C_N0, _C_N0 + 9))
 def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
                      max_depth, light_samples, emitter, samp_slots=0,
                      col_dyn=None, chunk_box=None, sweep=None,
-                     blk=None, blk_dyn=None):
+                     blk=None, blk_dyn=None, fast_shadow=False):
     """The regenerative estimator step shared by the Pallas kernel and the
     jnp replica: carry -> carry. Terminated lanes regenerate as their next
     sample; lanes past `samples` idle with zero throughput (the body is a
@@ -847,7 +847,12 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
                               col_dyn=col_dyn, chunk_box=chunk_box,
                               blk=blk, blk_dyn=blk_dyn)
     primary = _make_primary(cam, seed, pix, W, H)
-    nee = _make_nee(sweep, emitter, seed, pix, light_samples)
+    # fast_shadow: forward renderers only — the lean consts-sourced NEE
+    # (no winner-attribute shadow sweep; see _make_nee). The jnp replica
+    # and the PRB trainers stay legacy: ke must remain a live table
+    # value for gradients, and the replica is the AD oracle.
+    nee = _make_nee(sweep, emitter, seed, pix, light_samples,
+                    fast_shadow=fast_shadow)
     S = jnp.int32(samples)
 
     def body(carry):
@@ -994,7 +999,7 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
             col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
             light_samples, emitter, col_dyn=col_dyn,
             chunk_box=chunk_box if chunked else None,
-            blk=blk, blk_dyn=blk_dyn)
+            blk=blk, blk_dyn=blk_dyn, fast_shadow=True)
         carry = jax.lax.while_loop(cond, body, init(in_image))
         inv_s = np.float32(1.0 / samples)
         out_ref[0:1, :] = carry[9] * inv_s
