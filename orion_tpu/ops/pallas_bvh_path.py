@@ -510,6 +510,43 @@ def build_bvh_path_call(M, W, H, samples, max_depth, light_samples,
     )
 
 
+def collapse_skip_levels(lo, hi, skip, start):
+    """Drop every other INTERNAL level from a flattened skip-pointer
+    layout (a 4-ary flatten of the same binary tree): ~23% fewer node
+    steps on sorted bounce wavefronts with IDENTICAL leaf visits
+    (experiments/exp_quad_sim.py — the dropped boxes' tests were
+    block-redundant), against the 292 ns serial scalar chain each step
+    costs (exp_walk_anatomy). The walk code is unchanged: arity lives
+    entirely in the (skip, start) encoding."""
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    skip, start = np.asarray(skip), np.asarray(start)
+    M = lo.shape[0]
+    depth = np.zeros(M, np.int64)
+    stack = [(0, 0)]
+    while stack:
+        i, d = stack.pop()
+        depth[i] = d
+        if start[i] >= 0:
+            continue
+        left = i + 1
+        right = int(skip[left])
+        stack.append((left, d + 1))
+        if right < int(skip[i]):
+            stack.append((right, d + 1))
+    keep = (start >= 0) | (depth % 2 == 0)
+    new_idx = np.cumsum(keep) - 1
+    Mp = int(keep.sum())
+    nxt = np.full(M + 1, Mp, np.int64)   # next kept node at/after j
+    acc = Mp
+    for j in range(M - 1, -1, -1):
+        if keep[j]:
+            acc = int(new_idx[j])
+        nxt[j] = acc
+    skip2 = np.asarray([nxt[int(skip[j])] for j in range(M) if keep[j]],
+                       np.int32)
+    return (lo[keep], hi[keep], skip2, start[keep].astype(np.int32))
+
+
 def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
                          order_signs=(1.0, 1.0, 1.0),
                          check_cap: bool = True, with_bvh: bool = False):
@@ -526,13 +563,15 @@ def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
             f"{bvh.num_bundled} bundled rows exceed the path attr-table "
             f"residency cap ({RESIDENT_MAX_BUNDLED})")
     tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
+    n_lo, n_hi, n_skip, n_start = collapse_skip_levels(
+        bvh.node_lo, bvh.node_hi, bvh.node_skip, bvh.node_start)
     node_scalars = tuple(
-        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+        [jnp.asarray(n_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(n_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(n_skip), jnp.asarray(n_start)])
     if with_bvh:
-        return node_scalars, tab, bvh.num_nodes, bvh
-    return node_scalars, tab, bvh.num_nodes
+        return node_scalars, tab, int(n_lo.shape[0]), bvh
+    return node_scalars, tab, int(n_lo.shape[0])
 
 
 def make_bvh_path_renderer(scene: Scene, camera, *, samples: int,
