@@ -138,8 +138,15 @@ def _make_path_sweep(node, tab_ref, M):
                            jnp.maximum(tz0, tz1))
         return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
 
+    def _leaf_off(start):
+        # leaf starts are LEAF_WIDTH multiples; bit 0 optionally encodes
+        # "this leaf holds NO emitter rows" (collapse/device-data sets
+        # it; unencoded trees read 0 = conservative full path)
+        return pl.multiple_of(jnp.maximum(start, 0) & jnp.int32(-2),
+                              LEAF_WIDTH)
+
     def _leaf_planes(start, o, d):
-        off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+        off = _leaf_off(start)
         blk = tab_ref[:, pl.ds(off, LEAF_WIDTH)]        # [32, W]
         blk_t = blk.T                                   # [W, 32]
         t, u, v = _woop_uv(o, d, blk_t)
@@ -349,18 +356,38 @@ def _make_path_sweep(node, tab_ref, M):
 
             def leaf_case(state):
                 t_b0, em_f0, t_b1, em_f1 = state
-                off = pl.multiple_of(jnp.maximum(start, 0), LEAF_WIDTH)
+                off = _leaf_off(start)
                 blk_t = tab_ref[:, pl.ds(off, LEAF_WIDTH)].T
                 w = tuple(blk_t[:, _C_WOOP + i:_C_WOOP + i + 1]
                           for i in range(13))
                 # shared-origin dual Woop: both rays leave the same hit
                 # point, so the origin transform is computed once
                 t0, t1 = woop_t2(o, d0, d1, w)
-                leaf_em = jnp.broadcast_to(
-                    blk_t[:, _C_MESH:_C_MESH + 1] == exm, t0.shape)
-                t_b0, em_f0 = em_win(t0, t_b0, em_f0, leaf_em)
-                t_b1, em_f1 = em_win(t1, t_b1, em_f1, leaf_em)
-                return t_b0, em_f0, t_b1, em_f1
+
+                def with_em(state):
+                    t_b0, em_f0, t_b1, em_f1 = state
+                    leaf_em = jnp.broadcast_to(
+                        blk_t[:, _C_MESH:_C_MESH + 1] == exm, t0.shape)
+                    t_b0, em_f0 = em_win(t0, t_b0, em_f0, leaf_em)
+                    t_b1, em_f1 = em_win(t1, t_b1, em_f1, leaf_em)
+                    return t_b0, em_f0, t_b1, em_f1
+
+                def without_em(state):
+                    # bit-0 flag: no emitter rows here — the winner-row
+                    # tie machinery is moot (any improving hit votes
+                    # em_f to 0); only the two t_min reduces remain
+                    t_b0, em_f0, t_b1, em_f1 = state
+                    tm0 = jnp.min(t0, axis=0, keepdims=True)
+                    b0 = (tm0 < t_b0) & (tm0 < _BIG)
+                    tm1 = jnp.min(t1, axis=0, keepdims=True)
+                    b1 = (tm1 < t_b1) & (tm1 < _BIG)
+                    return (jnp.where(b0, tm0, t_b0),
+                            jnp.where(b0, 0.0, em_f0),
+                            jnp.where(b1, tm1, t_b1),
+                            jnp.where(b1, 0.0, em_f1))
+
+                return jax.lax.cond((start & 1) > 0, without_em,
+                                    with_em, state)
 
             t_b0, em_f0, t_b1, em_f1 = jax.lax.cond(
                 any_lane & is_leaf, leaf_case, lambda s: s,
@@ -420,8 +447,7 @@ def _make_path_sweep(node, tab_ref, M):
                         return jnp.sum(jnp.where(sel, p, 0.0), axis=0,
                                        keepdims=True)
 
-                    off = pl.multiple_of(jnp.maximum(start, 0),
-                                         LEAF_WIDTH)
+                    off = _leaf_off(start)
                     g_row = (row_min.astype(jnp.float32)
                              + off.astype(jnp.float32))
                     return (jnp.where(better, t_min, t_b),
@@ -562,9 +588,24 @@ def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
         raise ValueError(
             f"{bvh.num_bundled} bundled rows exceed the path attr-table "
             f"residency cap ({RESIDENT_MAX_BUNDLED})")
-    tab = jnp.asarray(pack_bvh_path_table(bvh, scene))
+    tab_np = pack_bvh_path_table(bvh, scene)
+    tab = jnp.asarray(tab_np)
     n_lo, n_hi, n_skip, n_start = collapse_skip_levels(
         bvh.node_lo, bvh.node_hi, bvh.node_skip, bvh.node_start)
+    # bit-0 "no emitter rows" flag on leaf starts (LEAF_WIDTH multiples,
+    # low bits free): the NEE shadow walk skips the winner-row/emitter
+    # reduces on leaves that cannot contain the light. Padding rows
+    # carry mesh 0; if mesh 0 is emissive they read as emitter rows —
+    # conservative (flag stays 0 = full path).
+    em_ids = set(int(m) for m in np.asarray(scene.emissive_mesh_ids)
+                 [:scene.num_emissive])
+    mesh_row = tab_np[_C_MESH]
+    B_pad = mesh_row.shape[0]
+    is_em_row = np.isin(mesh_row.astype(np.int64), sorted(em_ids))
+    for i in range(n_start.shape[0]):
+        st0 = int(n_start[i])
+        if st0 >= 0 and not is_em_row[st0:st0 + LEAF_WIDTH].any():
+            n_start[i] = st0 | 1
     node_scalars = tuple(
         [jnp.asarray(n_lo[:, i]) for i in range(3)]
         + [jnp.asarray(n_hi[:, i]) for i in range(3)]
