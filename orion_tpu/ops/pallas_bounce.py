@@ -234,12 +234,19 @@ def _make_walk_kernel(M: int):
 
 
 def build_walk_call(num_nodes: int, n_pad: int, ray_block: int,
-                    interpret: bool):
-    """(*node_scalars, state [16, n_pad], tab) -> hitdata [8, n_pad]."""
+                    interpret: bool, grid_sz: int | None = None):
+    """(*node_scalars, state [16, n_pad], tab) -> hitdata [8, n_pad].
+
+    grid_sz < n_pad runs only the first grid_sz lanes (the live prefix
+    after the dead-last sort); the output's suffix is UNWRITTEN (its
+    winner rows are clipped and its lanes never reach the shade grid).
+    Full-width buffers + prefix grids replace the old slice-call-concat
+    per bounce — the concats copied the whole wavefront twice."""
+    grid_sz = n_pad if grid_sz is None else grid_sz
     kernel = _make_walk_kernel(num_nodes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(n_pad // ray_block,),
+        grid=(grid_sz // ray_block,),
         in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -293,14 +300,16 @@ def _make_vis_kernel(M: int, light_samples: int, emitter):
 
 
 def build_vis_call(num_nodes: int, light_samples: int, emitter,
-                   n_pad: int, ray_block: int, interpret: bool):
+                   n_pad: int, ray_block: int, interpret: bool,
+                   grid_sz: int | None = None):
     """(seed [1], depth [1], *node_scalars, state [16, n_pad],
     ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad], tab)
     -> vis [8, n_pad] (rows 0-1: the pair visibility planes)."""
+    grid_sz = n_pad if grid_sz is None else grid_sz
     kernel = _make_vis_kernel(num_nodes, light_samples, emitter)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
-        grid=(n_pad // ray_block,),
+        grid=(grid_sz // ray_block,),
         in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -331,12 +340,15 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
                n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
                attr_ref, *rest):
+        rest = list(rest)
         if split_vis:
-            vis_ref, tab_ref, out_ref, iout_ref, *aux_refs = rest
+            vis_ref = rest.pop(0)
             nee_vis = (vis_ref[0:1, :], vis_ref[1:2, :])
         else:
-            tab_ref, out_ref, iout_ref, *aux_refs = rest
             nee_vis = None
+        if with_aux:
+            rest.pop(0)   # aux_in: zero-filled alias target, unread
+        tab_ref, out_ref, iout_ref, *aux_refs = rest
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
@@ -408,7 +420,8 @@ def _round_up(x: int, m: int) -> int:
 def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                      emitter, s_lo, s_hi, n_pad: int, ray_block: int,
                      interpret: bool, with_aux: bool = False,
-                     split_vis: bool = False):
+                     split_vis: bool = False,
+                     grid_sz: int | None = None):
     """The per-bounce shade call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
      ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad]
@@ -416,7 +429,15 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
     -> (state' [16, n_pad], ints' [8, n_pad][, aux [16, n_pad]]) —
     aux carries the replay planes (_make_bounce_step with_aux) for the
     closed-form PRB trainer; split_vis consumes the standalone vis
-    kernel's planes instead of walking shadows here."""
+    kernel's planes instead of walking shadows here.
+
+    The state and ints outputs ALIAS their inputs (guaranteed in-place:
+    Mosaic operand-output aliasing), and grid_sz < n_pad runs only the
+    live prefix — the dead suffix keeps its pixel ids and accumulated
+    radiance with zero copies. with_aux adds a zero-filled aux input
+    aliased to the aux output so the suffix dumps stay zero (the PRB
+    realignment scatter-adds the full width)."""
+    grid_sz = n_pad if grid_sz is None else grid_sz
     kernel = _make_shade_kernel(num_nodes, max_depth, light_samples,
                                 emitter, s_lo, s_hi, with_aux=with_aux,
                                 split_vis=split_vis)
@@ -438,14 +459,24 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM)]
+    # input indices for aliasing count the scalar-prefetch operands
+    n_in = 14   # seed, depth, 8 node arrays, st, it, hitdata, attrs
+    aliases = {10: 0, 11: 1}   # st -> st', it -> it'
     if split_vis:
         in_specs.append(pl.BlockSpec((8, ray_block),
                                      lambda i, *_: (0, i),
                                      memory_space=pltpu.VMEM))
+        n_in += 1
+    if with_aux:
+        in_specs.append(pl.BlockSpec((16, ray_block),
+                                     lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM))
+        aliases[n_in] = 2      # zero aux_in -> aux'
+        n_in += 1
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
-        grid=(n_pad // ray_block,),
+        grid=(grid_sz // ray_block,),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -454,6 +485,7 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        input_output_aliases=aliases,
     )
 
 
@@ -513,8 +545,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     walk_block = max(ray_block, 1024)
     while any(sz % walk_block for sz in sizes):
         walk_block //= 2
-    walk_calls = {sz: build_walk_call(num_nodes, sz, walk_block,
-                                      interpret)
+    walk_calls = {sz: build_walk_call(num_nodes, n_pad, walk_block,
+                                      interpret, grid_sz=sz)
                   for sz in sizes}
     # the fused dual shadow walk CAN run standalone at the wide block
     # (single-emitter ls==2 pair path; the shade kernel is then
@@ -526,13 +558,15 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     n_emitters = len(emitter) if isinstance(emitter, list) else 1
     split_vis = bool(split_vis) and light_samples == 2 and n_emitters == 1
     vis_calls = {sz: build_vis_call(num_nodes, light_samples, emitter,
-                                    sz, walk_block, interpret)
+                                    n_pad, walk_block, interpret,
+                                    grid_sz=sz)
                  for sz in sizes} if split_vis else None
     shade_calls = {sz: build_shade_call(num_nodes, max_depth,
                                         light_samples, emitter, s_lo,
-                                        s_hi, sz, ray_block, interpret,
-                                        with_aux=with_aux,
-                                        split_vis=split_vis)
+                                        s_hi, n_pad, ray_block,
+                                        interpret, with_aux=with_aux,
+                                        split_vis=split_vis,
+                                        grid_sz=sz)
                    for sz in sizes}
     B_pad = int(tab.shape[1])
 
@@ -563,36 +597,31 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             x * 0 + cam_v[2], dx, dy, dz
 
     def run_call(sz, seed, depth, st, it, tab):
-        """One bounce on the [:sz] prefix: lean walk kernel -> HBM
-        attribute gather by winner row -> shade kernel. Suffix rides
-        along; aux is zero-padded to full width (suffix lanes are dead:
-        no adjoints)."""
-        hitdata = walk_calls[sz](*node_scalars, st[:, :sz], tab)
+        """One bounce on the live prefix (the first sz lanes): lean walk
+        kernel -> HBM attribute gather by winner row -> shade kernel.
+        Every array is FULL width with a prefix grid; the shade call's
+        state/ints outputs alias their (donated) inputs, so the dead
+        suffix keeps its pixel ids and accumulated radiance with zero
+        copies. aux dumps write over a zero-filled aliased input, so
+        the suffix's dumps stay zero (the PRB realignment scatter-adds
+        full width); the walk/vis outputs' suffixes are unwritten
+        scratch that only clipped row gathers ever touch."""
+        hitdata = walk_calls[sz](*node_scalars, st, tab)
         rows = jnp.clip(hitdata[3].astype(jnp.int32), 0, B_pad - 1)
         attrs = tab[:, rows]
+        args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
         if split_vis:
-            vis = vis_calls[sz](seed, depth, *node_scalars, st[:, :sz],
-                                it[:, :sz], hitdata, attrs, tab)
-            out = shade_calls[sz](seed, depth, *node_scalars,
-                                  st[:, :sz], it[:, :sz], hitdata,
-                                  attrs, vis, tab)
-        else:
-            out = shade_calls[sz](seed, depth, *node_scalars,
-                                  st[:, :sz], it[:, :sz], hitdata,
-                                  attrs, tab)
+            args.append(vis_calls[sz](*args[:2], *node_scalars, st, it,
+                                      hitdata, attrs, tab))
+        if with_aux:
+            args.append(jnp.zeros((16, n_pad), jnp.float32))
+        out = shade_calls[sz](*args, tab)
         stp, itp = out[0], out[1]
-        if sz != n_pad:
-            stp = jnp.concatenate([stp, st[:, sz:]], axis=1)
-            itp = jnp.concatenate([itp, it[:, sz:]], axis=1)
         if not with_aux:
             return stp, itp, ()
-        aux = out[2]
-        if sz != n_pad:
-            aux = jnp.concatenate(
-                [aux, jnp.zeros((16, n_pad - sz), jnp.float32)], axis=1)
         # rider pix/samp for realignment: the LAUNCH order (itp == input
         # its: the kernel passes ints through)
-        return stp, itp, (aux, itp[0], itp[1])
+        return stp, itp, (out[2], itp[0], itp[1])
 
     def pipeline(seed, tab=tab):
         pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0])
