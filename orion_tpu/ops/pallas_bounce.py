@@ -14,12 +14,24 @@ exp_g8_bench.py, on the 35k-tri subdivided cornell at 256^2 x 16 spp):
      scalar-unit overhead beats the union savings).
 
 So: keep the wavefront OUTSIDE the kernel (so it can be globally sorted
-between bounces — the one thing a resident megakernel cannot do), and
-fuse EVERYTHING per bounce INTO one kernel (closest-hit walk with winner
-attributes, the depth-0 emissive term, NEE shadow walks against baked
-emitters, Russian roulette, cosine bounce, in-VMEM radiance
-accumulation, and the NEXT bounce's coherence sort key). Between
-kernels, jnp does exactly one argsort + two gathers.
+between bounces — the one thing a resident megakernel cannot do). Each
+bounce is a 3-phase pipeline (round 4; the round-3 single fused kernel
+carried ~20 [1, RB] planes through every walk step and spilled):
+
+  1. WALK kernel (1024-lane blocks): the lean nearest-hit walk — carry
+     is (t, u, v, global winner row) only — over the 4-ary-collapsed
+     skip tree.
+  2. jnp: HBM gather of the winner rows' attribute columns.
+  3. SHADE kernel (512-lane blocks): depth-0 emissive term, fast-shadow
+     NEE (both light samples through ONE fused dual-carry visibility
+     walk; leaves flagged emitter-free skip the winner reduces),
+     Russian roulette, cosine bounce, radiance accumulation, and the
+     NEXT bounce's coherence sort key. State/ints outputs alias their
+     donated inputs (prefix grids leave the dead suffix untouched).
+
+Between bounces, jnp prefix-sorts by the dead-last key (live lanes sit
+in the previous prefix) and lax.switches the kernels onto the smallest
+precompiled size covering the live count (compaction ladder).
 
 Estimator identity: this is the megakernel estimator (pallas_fused's
 _BOUNCE_ATTRS sweep + _make_nee + _cosine_bounce, PCG4D streams keyed on
