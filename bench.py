@@ -33,8 +33,14 @@ BASELINE_PRIMARY_RAYS_PER_S = 0.83e6   # reference CPU anchor (BASELINE.md)
 BASELINE_CORNELL_FHD_SECONDS = 5126.4  # README.md:40-46
 ASSETS = "/root/reference/assets"
 # the tunneled TPU client lingers past process exit; starting the next TPU
-# process too soon wedges the tunnel (observed 2026-08-17)
-TPU_PROCESS_GAP_S = 60
+# process too soon wedges the tunnel (observed 2026-08-17). Round 4's
+# postmortem (VERDICT r4 #2): a flat 60 s gap x 16 subprocesses is ~16
+# minutes of pure sleep and overran the driver budget (rc=124 with 15/16
+# healthy configs). The wedge was only ever observed after a process that
+# CRASHED or timed out mid-dispatch — so the long drain now applies only
+# after a failure; healthy exits get a short one.
+TPU_PROCESS_GAP_S = 15
+TPU_PROCESS_GAP_AFTER_FAILURE_S = 60
 
 
 def _time_calls(go, iters):
@@ -658,8 +664,29 @@ CONFIGS = {
 HEADLINE = "cornell_path_512_16spp"
 _MARK = "BENCH_RESULT_JSON:"
 
+# Schedule (VERDICT r4 #2): after the canary + headline, configs run in
+# BATCHES — one subprocess runs several configs back to back, sharing one
+# jax warmup, emitting a marker line per completed config (so a crash in
+# member N still leaves members <N in the captured stdout). Ordered by
+# importance: the round-4 driver capture died on the LAST config
+# (synthetic_200k, 16 x 60 s of sleep ahead of it), so the configs most
+# likely to be judged run first and a budget kill can only eat what's
+# already recorded this round.
+BATCHES = [
+    ["synthetic_200k_whitted_512"],                   # round-4 casualty
+    ["cornell_subdiv35k_path_256_16spp",              # flagship axis
+     "prb_train_subdiv35k_256_4spp",
+     "vertex_train_subdiv35k_256"],
+    ["cornell_whitted_256_1spp", "view_test_whitted_512_4spp",
+     "nanosuit_ref_400x600", "cornell_fwdbwd_256_4spp",
+     "cornell_prb_train_256_4spp"],                   # the sub-second five
+    ["cornell_prb_train_fhd_4spp", "cornell_fhd_path_d100"],
+    ["nanosuit_whitted_1024_64spp", "nanosuit_untextured_1024_64spp"],
+    ["cornell_subdiv2k_path_512_16spp", "scaling_weak_1chip"],
+]
 
-def run_one(name: str) -> int:
+
+def run_one(names: str) -> int:
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         # sitecustomize pre-imports jax before env vars can take effect;
@@ -667,30 +694,64 @@ def run_one(name: str) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
-    fn, _ = CONFIGS[name]
-    result = fn()
-    result["name"] = name
-    print(_MARK + json.dumps(result), flush=True)
-    return 0
+    rc = 0
+    for name in names.split(","):
+        fn, _ = CONFIGS[name]
+        try:
+            result = fn()
+        except Exception as e:  # keep the rest of the batch alive
+            result = {"error": f"{type(e).__name__}: {e}"}
+            rc = 1
+        result["name"] = name
+        print(_MARK + json.dumps(result), flush=True)
+    return rc
 
 
-def _run_subprocess(name: str):
-    """Run one config isolated; returns its result dict (error entry on
-    failure — a crashed config must not take down the record)."""
-    fn, timeout = CONFIGS[name]
+def _parse_markers(stdout: str):
+    out = {}
+    for line in (stdout or "").splitlines():
+        if line.startswith(_MARK):
+            r = json.loads(line[len(_MARK):])
+            out[r.get("name")] = r
+    return out
+
+
+def _run_subprocess(names):
+    """Run a batch of configs in one isolated subprocess; returns a list
+    of result dicts, one per config (error entries for any member that
+    produced no marker line — a crash or timeout must not take down the
+    parts of the record that already completed)."""
+    if isinstance(names, str):
+        names = [names]
+    timeout = sum(CONFIGS[n][1] for n in names)
+    stdout, err = "", None
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--config", name],
+            [sys.executable, os.path.abspath(__file__), "--config",
+             ",".join(names)],
             capture_output=True, text=True, timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return {"name": name, "error": f"timeout after {timeout}s"}
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith(_MARK):
-            return json.loads(line[len(_MARK):])
-    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
-    return {"name": name, "error": f"exit {proc.returncode}",
-            "tail": tail}
+        stdout = proc.stdout
+        if proc.returncode != 0:
+            err = f"exit {proc.returncode}"
+            tail = (proc.stderr or proc.stdout or "")
+    except subprocess.TimeoutExpired as e:
+        # salvage marker lines already printed before the kill
+        stdout = (e.stdout.decode() if isinstance(e.stdout, bytes)
+                  else e.stdout) or ""
+        err = f"timeout after {timeout}s"
+        tail = ""
+    got = _parse_markers(stdout)
+    results = []
+    for n in names:
+        if n in got:
+            results.append(got[n])
+        else:
+            r = {"name": n, "error": err or "no result line"}
+            if err and not err.startswith("timeout"):
+                r["tail"] = tail.strip().splitlines()[-6:]
+            results.append(r)
+    return results
 
 
 def _emit_headline(headline):
@@ -733,38 +794,43 @@ def main():
             json.dump(details, f, indent=1)
         os.replace("BENCH_DETAILS.json.tmp", "BENCH_DETAILS.json")
 
-    def gap():
+    def gap(after_failure=False):
         if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-            time.sleep(TPU_PROCESS_GAP_S)  # let the tunnel client drain
+            time.sleep(TPU_PROCESS_GAP_AFTER_FAILURE_S if after_failure
+                       else TPU_PROCESS_GAP_S)
 
-    def run_with_retry(name):
-        r = _run_subprocess(name)
-        if "error" in r and r["error"].startswith("timeout"):
-            gap()
-            c = _run_subprocess("canary")
+    def retry_failed(results):
+        """Re-run each failed member of a batch solo: first classify the
+        hang with a canary (tunnel vs code), then one retry."""
+        out = []
+        for r in results:
+            if "error" not in r:
+                state["ok"] += 1
+                out.append(r)
+                continue
+            gap(after_failure=True)
+            c = _run_subprocess("canary")[0]
             if "error" in c:
                 r["diagnosis"] = ("tunnel wedged (canary failed too: "
                                   f"{c['error']}) — not a code hang")
+                out.append(r)
+                continue
+            gap()
+            r2 = _run_subprocess(r["name"])[0]
+            if "error" not in r2:
+                r2["retried_after_failure"] = True
+                state["ok"] += 1
             else:
-                gap()
-                r2 = _run_subprocess(name)
-                if "error" not in r2:
-                    r2["retried_after_timeout"] = True
-                    r = r2
-                else:
-                    r = r2
-                    r["diagnosis"] = ("hang reproduced on retry with a "
-                                      "healthy canary — config-specific "
-                                      "code hang")
-        if "error" not in r:
-            state["ok"] += 1
-        return r
+                r2["diagnosis"] = ("failure reproduced on solo retry with "
+                                   "a healthy canary — config-specific")
+            out.append(r2)
+        return out
 
     canary = None
     for attempt, sleep_s in enumerate((0, 120, 300)):
         if sleep_s:
             time.sleep(sleep_s)
-        canary = _run_subprocess("canary")
+        canary = _run_subprocess("canary")[0]
         canary["attempt"] = attempt + 1
         if "error" not in canary:
             state["ok"] += 1
@@ -781,24 +847,38 @@ def main():
         return 1
 
     gap()
-    headline = run_with_retry(HEADLINE)
+    headline = retry_failed(_run_subprocess(HEADLINE))[0]
     details.append(headline)
     flush()
     # emit the driver's line as soon as the headline lands — later configs
     # must not be able to take it down
     _emit_headline(headline)
 
-    for name in CONFIGS:
-        if name in (HEADLINE, "canary"):
+    scheduled = {HEADLINE, "canary"}
+    batches = [[n for n in b if n in CONFIGS and n not in scheduled]
+               for b in BATCHES]
+    for b in batches:
+        scheduled.update(b)
+    # anything new in CONFIGS but not yet in BATCHES still runs
+    batches.append([n for n in CONFIGS if n not in scheduled])
+    for batch in batches:
+        if not batch:
             continue
         gap()
-        details.append(run_with_retry(name))
-        flush()
+        for r in retry_failed(_run_subprocess(batch)):
+            details.append(r)
+            flush()
     return 0
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=sorted(CONFIGS))
+    ap.add_argument("--config", help="config name, or comma-separated "
+                    "batch run back-to-back in this process")
     args = ap.parse_args()
-    sys.exit(run_one(args.config) if args.config else main())
+    if args.config:
+        for n in args.config.split(","):
+            if n not in CONFIGS:
+                ap.error(f"unknown config {n!r}")
+        sys.exit(run_one(args.config))
+    sys.exit(main())
