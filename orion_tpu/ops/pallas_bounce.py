@@ -217,7 +217,8 @@ def _scene_bounds_np(scene: Scene):
     return pts.min(axis=0), pts.max(axis=0)
 
 
-def _make_walk_kernel(M: int):
+def _make_walk_kernel(M: int, octant_copies: int = 1,
+                      leaf_width: int = 128):
     """Phase 1 of a bounce: the lean nearest-hit walk. Reads (o, d,
     alive) from the state rows, writes [8, rb]: t, u, v, global winner
     row, hitf (rows 5-7 zero). The 4-plane carry keeps the while loop
@@ -230,7 +231,9 @@ def _make_walk_kernel(M: int):
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
-        sweep = _make_path_sweep(node, tab_ref, M)
+        sweep = _make_path_sweep(node, tab_ref, M,
+                                 octant_copies=octant_copies,
+                                 leaf_width=leaf_width)
         o = (st_ref[0:1, :], st_ref[1:2, :], st_ref[2:3, :])
         d = (st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :])
         alive = st_ref[9:10, :] > 0.0
@@ -246,16 +249,19 @@ def _make_walk_kernel(M: int):
 
 
 def build_walk_call(num_nodes: int, n_pad: int, ray_block: int,
-                    interpret: bool, grid_sz: int | None = None):
-    """(*node_scalars, state [16, n_pad], tab) -> hitdata [8, n_pad].
+                    interpret: bool, grid_sz: int | None = None,
+                    octant_copies: int = 1, leaf_width: int = 128):
+    """(*node_scalars, state [16, n_pad], tab) -> hitdata [8, grid_sz].
 
     grid_sz < n_pad runs only the first grid_sz lanes (the live prefix
-    after the dead-last sort); the output's suffix is UNWRITTEN (its
-    winner rows are clipped and its lanes never reach the shade grid).
-    Full-width buffers + prefix grids replace the old slice-call-concat
-    per bounce — the concats copied the whole wavefront twice."""
+    after the dead-last sort); the INPUT state stays full width (prefix
+    blocks only are read), but the output is prefix-SIZED — hitdata has
+    no cross-bounce suffix to preserve, so allocating and hauling a
+    full-width buffer per bounce was pure waste (round 5; the attribute
+    gather shrinks with it)."""
     grid_sz = n_pad if grid_sz is None else grid_sz
-    kernel = _make_walk_kernel(num_nodes)
+    kernel = _make_walk_kernel(num_nodes, octant_copies=octant_copies,
+                               leaf_width=leaf_width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(grid_sz // ray_block,),
@@ -268,12 +274,13 @@ def build_walk_call(num_nodes: int, n_pad: int, ray_block: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, grid_sz), jnp.float32),
         interpret=interpret,
     )
 
 
-def _make_vis_kernel(M: int, light_samples: int, emitter):
+def _make_vis_kernel(M: int, light_samples: int, emitter,
+                     octant_copies: int = 1, leaf_width: int = 128):
     """Phase 2 of a bounce: the fused dual-sample NEE visibility walk,
     standalone — its lean carries (one pointer, two t/flag pairs) fit a
     wider block than the shade kernel's working set allows, and the
@@ -287,7 +294,9 @@ def _make_vis_kernel(M: int, light_samples: int, emitter):
                 "skip": n_skip, "start": n_start}
         seed = seed_ref[0]
         depth = depth_ref[0]
-        real = _make_path_sweep(node, tab_ref, M)
+        real = _make_path_sweep(node, tab_ref, M,
+                                octant_copies=octant_copies,
+                                leaf_width=leaf_width)
         hitf = hit_ref[4:5, :]
         hit = hitf > 0.0
         t = hit_ref[0:1, :]
@@ -313,12 +322,15 @@ def _make_vis_kernel(M: int, light_samples: int, emitter):
 
 def build_vis_call(num_nodes: int, light_samples: int, emitter,
                    n_pad: int, ray_block: int, interpret: bool,
-                   grid_sz: int | None = None):
+                   grid_sz: int | None = None,
+                   octant_copies: int = 1, leaf_width: int = 128):
     """(seed [1], depth [1], *node_scalars, state [16, n_pad],
-    ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad], tab)
-    -> vis [8, n_pad] (rows 0-1: the pair visibility planes)."""
+    ints [8, n_pad], hitdata [8, grid_sz], attrs [32, grid_sz], tab)
+    -> vis [8, grid_sz] (rows 0-1: the pair visibility planes)."""
     grid_sz = n_pad if grid_sz is None else grid_sz
-    kernel = _make_vis_kernel(num_nodes, light_samples, emitter)
+    kernel = _make_vis_kernel(num_nodes, light_samples, emitter,
+                              octant_copies=octant_copies,
+                              leaf_width=leaf_width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(grid_sz // ray_block,),
@@ -337,14 +349,15 @@ def build_vis_call(num_nodes: int, light_samples: int, emitter,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, grid_sz), jnp.float32),
         interpret=interpret,
     )
 
 
 def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
                        emitter, s_lo, s_hi, with_aux: bool = False,
-                       split_vis: bool = False):
+                       split_vis: bool = False,
+                       octant_copies: int = 1, leaf_width: int = 128):
     """Phase 2 of a bounce: shading over the walk's precomputed hit data
     and the HBM-gathered winner attribute rows — the NEE shadow walks
     (fused dual-sample, lean carries) run here against the resident
@@ -366,7 +379,9 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
                 "skip": n_skip, "start": n_start}
         seed = seed_ref[0]
         depth = depth_ref[0]
-        real = _make_path_sweep(node, tab_ref, M)
+        real = _make_path_sweep(node, tab_ref, M,
+                                octant_copies=octant_copies,
+                                leaf_width=leaf_width)
         hitf = hit_ref[4:5, :]
 
         def pre_sweep(o, d, attr_cols, alive=None, t_init=None):
@@ -433,11 +448,12 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                      emitter, s_lo, s_hi, n_pad: int, ray_block: int,
                      interpret: bool, with_aux: bool = False,
                      split_vis: bool = False,
-                     grid_sz: int | None = None):
+                     grid_sz: int | None = None,
+                     octant_copies: int = 1, leaf_width: int = 128):
     """The per-bounce shade call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
-     ints [8, n_pad], hitdata [8, n_pad], attrs [32, n_pad]
-     [, vis [8, n_pad]], tab)
+     ints [8, n_pad], hitdata [8, grid_sz], attrs [32, grid_sz]
+     [, vis [8, grid_sz]], tab)
     -> (state' [16, n_pad], ints' [8, n_pad][, aux [16, n_pad]]) —
     aux carries the replay planes (_make_bounce_step with_aux) for the
     closed-form PRB trainer; split_vis consumes the standalone vis
@@ -452,7 +468,9 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
     grid_sz = n_pad if grid_sz is None else grid_sz
     kernel = _make_shade_kernel(num_nodes, max_depth, light_samples,
                                 emitter, s_lo, s_hi, with_aux=with_aux,
-                                split_vis=split_vis)
+                                split_vis=split_vis,
+                                octant_copies=octant_copies,
+                                leaf_width=leaf_width)
     out_specs = (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
@@ -505,16 +523,36 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
                            max_depth: int, light_samples: int = 2,
                            ray_block: int = RAY_BLOCK,
                            sort: bool = True,
+                           sort_every: int = 1,
                            interpret: bool | None = None,
                            with_aux: bool = False,
-                           split_vis: bool = False):
+                           split_vis: bool = False,
+                           octant_trees: bool = False,
+                           leaf_width: int = 128,
+                           pix_count: int | None = None,
+                           _exp: dict | None = None):
     """The sorted-wavefront forward pass, shared by the renderer and the
     closed-form PRB trainer: returns (pipeline, ctx) where
     pipeline(seed) -> (st, it, dumps) with st/it the final [16, n_pad] /
     [8, n_pad] wavefront state and dumps = () or, with_aux=True,
     (aux [D+1, 16, n_pad], pix_d [D+1, n_pad], samp_d [D+1, n_pad]) —
     per-depth replay planes in each depth's OWN lane order (realign by
-    the rider pix/samp). ctx carries the static geometry/bookkeeping."""
+    the rider pix/samp). ctx carries the static geometry/bookkeeping.
+
+    sort_every=k sorts (and re-compacts) only every k-th bounce — the
+    sort is a coherence heuristic, not a correctness requirement
+    (tests/test_bounce.py::test_sort_is_estimator_invariant); skipped
+    bounces keep the previous prefix (lanes only die, so the stale
+    prefix still covers every live lane). _exp carries timing-probe
+    switches for experiments/ (fake_argsort, fake_gather) that break
+    the image and must never be set in production.
+
+    pix_count builds the pipeline for a LOCAL tile of pix_count pixels
+    starting at the traced pixel id pipeline(..., pix_base=...) — the
+    ray-DP unit for parallel/fused_shard.make_bounce_render_sharded.
+    Per-ray streams hash GLOBAL pixel ids, so a tiled render equals the
+    whole-image render ray-for-ray."""
+    _exp = _exp or {}
     if not bvh_path_supported(scene):
         raise ValueError("scene outside the bvh-path gate "
                          "(textures / emitters)")
@@ -525,11 +563,14 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
     H, W = camera.yres, camera.xres
     n_pix = H * W
-    N = n_pix * samples
+    pix_count = n_pix if pix_count is None else pix_count
+    N = pix_count * samples
     n_pad = _round_up(max(N, ray_block), ray_block)
 
+    octant_copies = 8 if octant_trees else 1
     node_scalars, tab, num_nodes, bvh = bvh_path_device_data(
-        scene, check_cap=not interpret, with_bvh=True)
+        scene, check_cap=not interpret, with_bvh=True,
+        octants=octant_copies, leaf_width=leaf_width)
     emitter = _emitters_consts(scene)
     s_lo, s_hi = _scene_bounds_np(scene)
 
@@ -558,7 +599,9 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     while any(sz % walk_block for sz in sizes):
         walk_block //= 2
     walk_calls = {sz: build_walk_call(num_nodes, n_pad, walk_block,
-                                      interpret, grid_sz=sz)
+                                      interpret, grid_sz=sz,
+                                      octant_copies=octant_copies,
+                                      leaf_width=leaf_width)
                   for sz in sizes}
     # the fused dual shadow walk CAN run standalone at the wide block
     # (single-emitter ls==2 pair path; the shade kernel is then
@@ -571,14 +614,18 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     split_vis = bool(split_vis) and light_samples == 2 and n_emitters == 1
     vis_calls = {sz: build_vis_call(num_nodes, light_samples, emitter,
                                     n_pad, walk_block, interpret,
-                                    grid_sz=sz)
+                                    grid_sz=sz,
+                                    octant_copies=octant_copies,
+                                    leaf_width=leaf_width)
                  for sz in sizes} if split_vis else None
     shade_calls = {sz: build_shade_call(num_nodes, max_depth,
                                         light_samples, emitter, s_lo,
                                         s_hi, n_pad, ray_block,
                                         interpret, with_aux=with_aux,
                                         split_vis=split_vis,
-                                        grid_sz=sz)
+                                        grid_sz=sz,
+                                        octant_copies=octant_copies,
+                                        leaf_width=leaf_width)
                    for sz in sizes}
     B_pad = int(tab.shape[1])
 
@@ -589,9 +636,11 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     # (pallas_fused._make_primary math, evaluated in jnp)
     from orion_tpu.ops.pallas_fused import _pcg4d, _u01
 
-    def primaries(seed):
-        pix = jnp.tile(jnp.arange(n_pix, dtype=jnp.int32), samples)
-        samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32), n_pix)
+    def primaries(seed, pix_base):
+        pix = (jnp.tile(jnp.arange(pix_count, dtype=jnp.int32), samples)
+               + pix_base)
+        samp = jnp.repeat(jnp.arange(samples, dtype=jnp.int32),
+                          pix_count)
         jb0, jb1, _, _ = _pcg4d(samp, jnp.broadcast_to(seed, samp.shape),
                                 jnp.full_like(samp, 0x4A17),
                                 jnp.full_like(samp, 0x7E57))
@@ -608,20 +657,29 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         return pix, samp, x * 0 + cam_v[0], x * 0 + cam_v[1], \
             x * 0 + cam_v[2], dx, dy, dz
 
-    def run_call(sz, seed, depth, st, it, tab):
+    def run_call(sz, seed, depth, st, it, tab, tabT):
         """One bounce on the live prefix (the first sz lanes): lean walk
         kernel -> HBM attribute gather by winner row -> shade kernel.
-        Every array is FULL width with a prefix grid; the shade call's
-        state/ints outputs alias their (donated) inputs, so the dead
-        suffix keeps its pixel ids and accumulated radiance with zero
-        copies. aux dumps write over a zero-filled aliased input, so
-        the suffix's dumps stay zero (the PRB realignment scatter-adds
-        full width); the walk/vis outputs' suffixes are unwritten
-        scratch that only clipped row gathers ever touch."""
+        The st/it state is FULL width with a prefix grid (the shade
+        call's state/ints outputs alias their donated inputs, so the
+        dead suffix keeps its pixel ids and accumulated radiance with
+        zero copies); hitdata/attrs/vis are prefix-SIZED [.., sz] —
+        they carry nothing across bounces, so the attribute gather and
+        the walk output shrink with the live count. aux dumps write
+        over a zero-filled aliased full-width input, so the suffix's
+        dumps stay zero (the PRB realignment scatter-adds full
+        width)."""
         hitdata = walk_calls[sz](*node_scalars, st, tab)
         rows = jnp.clip(hitdata[3].astype(jnp.int32), 0, B_pad - 1)
-        attrs = tab[:, rows]
+        # row-major gather + transpose: each pick reads 128 contiguous
+        # bytes of tabT instead of 32 strides across tab — measured ~2x
+        # faster at the sorted wavefront's clustered rows
+        # (experiments/exp_r5_gather.py); bit-identical values
+        attrs = tabT[rows].T
         args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
+        if _exp.get("fake_gather"):   # timing probe: gather -> broadcast
+            attrs = jnp.broadcast_to(tab[:, :1], (tab.shape[0], sz))
+            args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
         if split_vis:
             args.append(vis_calls[sz](*args[:2], *node_scalars, st, it,
                                       hitdata, attrs, tab))
@@ -635,8 +693,11 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         # its: the kernel passes ints through)
         return stp, itp, (out[2], itp[0], itp[1])
 
-    def pipeline(seed, tab=tab):
-        pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0])
+    def pipeline(seed, tab=tab, pix_base=None):
+        tabT = tab.T   # materialized once; run_call's row-major gathers
+        if pix_base is None:
+            pix_base = jnp.int32(0)
+        pix, samp, ox, oy, oz, dx, dy, dz = primaries(seed[0], pix_base)
         st = jnp.zeros((16, n_pad), jnp.float32)
         st = st.at[0, :N].set(ox).at[1, :N].set(oy).at[2, :N].set(oz)
         st = st.at[3, :N].set(dx).at[4, :N].set(dy).at[5, :N].set(dz)
@@ -648,7 +709,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
         def make_kernel_branch(sz, depth):
             def branch(st, it):
-                return run_call(sz, seed, depth[None], st, it, tab)
+                return run_call(sz, seed, depth[None], st, it, tab,
+                                tabT)
 
             return branch
 
@@ -659,8 +721,11 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             # (scatter-add by pixel id), so sorting the prefix alone is
             # image-identical to the full-width sort.
             def branch(st, it):
-                perm = jnp.argsort(st[13, :szp].astype(jnp.int32),
-                                   stable=True)
+                if _exp.get("fake_argsort"):   # timing probe: identity
+                    perm = jnp.arange(szp, dtype=jnp.int32)
+                else:
+                    perm = jnp.argsort(st[13, :szp].astype(jnp.int32),
+                                       stable=True)
                 if szp == n_pad:
                     return st[:, perm], it[:, perm]
                 return (jnp.concatenate([st[:, :szp][:, perm],
@@ -675,15 +740,26 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             if not sort:
                 # unsorted: live lanes are scattered — no compaction
                 st, it, dump = run_call(n_pad, seed, depth[None], st,
-                                        it, tab)
+                                        it, tab, tabT)
                 return (st, it, prev), dump
 
-            st, it = jax.lax.switch(prev, [make_sort_branch(sz)
-                                           for sz in sizes], st, it)
-            live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
-            thresholds = jnp.asarray(sizes, jnp.int32)
-            idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
-                           len(sizes) - 1)
+            def do_sort(st, it):
+                st, it = jax.lax.switch(prev, [make_sort_branch(sz)
+                                               for sz in sizes], st, it)
+                live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
+                thresholds = jnp.asarray(sizes, jnp.int32)
+                idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
+                               len(sizes) - 1)
+                return st, it, idx
+
+            if sort_every == 1:
+                st, it, idx = do_sort(st, it)
+            else:
+                # unsorted bounce: keep the stale prefix (still a cover
+                # — lanes only die) and skip the argsort + permutes
+                st, it, idx = jax.lax.cond(
+                    (depth - 1) % sort_every == 0, do_sort,
+                    lambda st, it: (st, it, prev), st, it)
             st, it, dump = jax.lax.switch(
                 idx, [make_kernel_branch(sz, depth) for sz in sizes],
                 st, it)
@@ -691,7 +767,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
         # depth 0 outside the scan: the primary wavefront's keys are all
         # zero (no sort needed) and every lane is live (no compaction)
-        st, it, dump0 = run_call(n_pad, seed, depth0, st, it, tab)
+        st, it, dump0 = run_call(n_pad, seed, depth0, st, it, tab, tabT)
         (st, it, _), dumps = jax.lax.scan(
             body, (st, it, jnp.int32(0)),
             jnp.arange(1, max_depth + 1, dtype=jnp.int32))
@@ -703,9 +779,10 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             dumps = ()
         return st, it, dumps
 
-    ctx = dict(H=H, W=W, n_pix=n_pix, N=N, n_pad=n_pad, sizes=sizes,
-               emitter=emitter, tab=tab, num_nodes=num_nodes,
-               node_scalars=node_scalars, cam_v=cam_v, bvh=bvh)
+    ctx = dict(H=H, W=W, n_pix=n_pix, pix_count=pix_count, N=N,
+               n_pad=n_pad, sizes=sizes, emitter=emitter, tab=tab,
+               num_nodes=num_nodes, node_scalars=node_scalars,
+               cam_v=cam_v, bvh=bvh)
     return pipeline, ctx
 
 
@@ -713,15 +790,20 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
                               max_depth: int, light_samples: int = 2,
                               ray_block: int = RAY_BLOCK,
                               sort: bool = True,
+                              sort_every: int = 1,
                               interpret: bool | None = None,
-                              split_vis: bool = False):
+                              split_vis: bool = False,
+                              octant_trees: bool = False,
+                              leaf_width: int = 128,
+                              _exp: dict | None = None):
     """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
     fused kernel launch per bounce. Same scene gate as the BVH path
     megakernel (solid materials, baked emitters)."""
     pipeline, ctx = build_forward_pipeline(
         scene, camera, samples=samples, max_depth=max_depth,
         light_samples=light_samples, ray_block=ray_block, sort=sort,
-        interpret=interpret, split_vis=split_vis)
+        sort_every=sort_every, interpret=interpret, split_vis=split_vis,
+        octant_trees=octant_trees, leaf_width=leaf_width, _exp=_exp)
     n_pix, H, W = ctx["n_pix"], ctx["H"], ctx["W"]
     tab0 = ctx["tab"]
 

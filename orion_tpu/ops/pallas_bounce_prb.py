@@ -56,58 +56,64 @@ _A_KD, _A_A, _A_RAD = 0, 3, 6
 _A_EMS, _A_SUMS, _A_MESH, _A_HIT, _A_CONT, _A_INVP = 9, 10, 11, 12, 13, 14
 
 
-def make_bounce_train_step(scene: Scene, camera, target, *, samples: int,
+def make_bounce_train_core(scene: Scene, camera, *, samples: int,
                            max_depth: int, light_samples: int = 2,
                            ray_block: int = RAY_BLOCK, sort: bool = True,
                            interpret: bool | None = None,
-                           dynamic_params: bool = False):
-    """MSE train step against `target` over the sorted-wavefront bounce
-    pipeline; gradients w.r.t. the material tables in closed form.
+                           pix_count: int | None = None):
+    """(core, ctx): the tile-local closed-form PRB train computation —
 
-    dynamic_params=False: step(key) -> (loss, grads) over the baked
-    scene. dynamic_params=True: step(params, key) -> (loss, grads) with
-    params over {mat_diffuse} (table rows rebuilt in-graph; tree/bins
-    untouched). mat_emissive stays static-only here: the fast-shadow NEE
-    bakes the emitter ke as kernel constants, so a traced ke would
-    silently decouple from the forward values — the step still RETURNS
-    its closed-form gradient."""
+        core(seed, tab, pix_base, target_local [pix_count, 3])
+            -> (sse, acc [M_LANES, 8], ek [3])
+
+    where sse is the tile's sum of squared pixel errors, acc the
+    per-mesh material-gradient accumulator (cols 0-2 kd, 3-5 ke), and
+    ek the NEE emitter-ke gradient triple. EVERYTHING is local to the
+    tile: per-tile wavefront, per-tile sorts/compaction, per-tile dump
+    realignment — so parallel/fused_shard can run one core per chip
+    with scene/tree replicated and reduce (sse, acc, ek) with a single
+    psum (SURVEY §2.4: ray DP for the production trainer). The MSE
+    normalization constant is GLOBAL (H*W*3*samples), so sharded
+    gradients sum to the single-chip values exactly."""
     if not wavefront_train_supported(scene):
         raise ValueError("scene outside the wavefront-train gate "
                          "(textures / emitters / materials)")
     pipeline, ctx = build_forward_pipeline(
         scene, camera, samples=samples, max_depth=max_depth,
         light_samples=light_samples, ray_block=ray_block, sort=sort,
-        interpret=interpret, with_aux=True)
+        interpret=interpret, with_aux=True, pix_count=pix_count)
     H, W = ctx["H"], ctx["W"]
-    n_pix, N = ctx["n_pix"], ctx["N"]
-    M = int(scene.num_meshes)
+    pc, N = ctx["pix_count"], ctx["N"]
     em_mesh = ctx["emitter"][0][0] if isinstance(ctx["emitter"], list) \
         else ctx["emitter"][0]
-    target = jnp.asarray(target, jnp.float32)
-    tab0 = ctx["tab"]
 
-    @jax.jit
-    def _impl(seed, tab):
-        st, it, (aux, pix_d, samp_d) = pipeline(seed, tab)
+    def core(seed, tab, pix_base, target_local):
+        st, it, (aux, pix_d, samp_d) = pipeline(seed, tab,
+                                                pix_base=pix_base)
 
-        # image + loss + per-pixel cotangent (binned trainer parity)
-        img = jnp.zeros((n_pix, 3), jnp.float32)
-        img = img.at[it[0]].add(st[10:13].T, mode="drop")
+        # tile image + squared error + per-pixel cotangent
+        img = jnp.zeros((pc, 3), jnp.float32)
+        img = img.at[it[0] - pix_base].add(st[10:13].T, mode="drop")
         img = img / np.float32(samples)
-        diff = img.reshape(H, W, 3) - target
-        loss = jnp.mean(diff * diff)
-        w_pix = (diff * np.float32(2.0 / (H * W * 3 * samples))
-                 ).reshape(n_pix, 3)
+        # tiles are padded to equal size: a last-chip tile can reach
+        # past the image — those rows must not contribute error
+        valid = ((jnp.arange(pc, dtype=jnp.int32) + pix_base)
+                 < jnp.int32(ctx["n_pix"])).astype(jnp.float32)[:, None]
+        diff = (img - target_local) * valid
+        sse = jnp.sum(diff * diff)
+        w_pix = diff * np.float32(2.0 / (H * W * 3 * samples))
 
-        # realign each depth's dump to canonical lane order
-        # (lane = samp * n_pix + pix; scatter-ADD so the zero dumps of
-        # padding riders colliding on lane 0 cannot clobber real values)
-        lane_d = samp_d * jnp.int32(n_pix) + pix_d        # [D+1, n_pad]
+        # realign each depth's dump to canonical tile-lane order
+        # (lane = samp * pix_count + local pix; scatter-ADD so the zero
+        # dumps of padding riders colliding on lane 0 cannot clobber
+        # real values)
+        lane_d = (samp_d * jnp.int32(pc)
+                  + (pix_d - pix_base))                   # [D+1, n_pad]
         aligned = jax.vmap(
             lambda a, l: jnp.zeros((16, N), jnp.float32)
             .at[:, l].add(a, mode="drop"))(aux, lane_d)   # [D+1, 16, N]
 
-        lane_pix = jnp.arange(N, dtype=jnp.int32) % jnp.int32(n_pix)
+        lane_pix = jnp.arange(N, dtype=jnp.int32) % jnp.int32(pc)
         w3 = w_pix[lane_pix].T                            # [3, N]
 
         # U_0 = per-lane total radiance, folded in depth order (bitwise
@@ -156,9 +162,44 @@ def make_bounce_train_step(scene: Scene, camera, target, *, samples: int,
         ones = (jnp.ones(N, jnp.float32),) * 3
         (_, _, acc, ek), _ = jax.lax.scan(
             rep_body, (ones, U, acc0, ek0), aligned)
+        return sse, acc, jnp.stack(ek)
 
+    ctx = dict(ctx, em_mesh=em_mesh)
+    return core, ctx
+
+
+def make_bounce_train_step(scene: Scene, camera, target, *, samples: int,
+                           max_depth: int, light_samples: int = 2,
+                           ray_block: int = RAY_BLOCK, sort: bool = True,
+                           interpret: bool | None = None,
+                           dynamic_params: bool = False):
+    """MSE train step against `target` over the sorted-wavefront bounce
+    pipeline; gradients w.r.t. the material tables in closed form.
+
+    dynamic_params=False: step(key) -> (loss, grads) over the baked
+    scene. dynamic_params=True: step(params, key) -> (loss, grads) with
+    params over {mat_diffuse} (table rows rebuilt in-graph; tree/bins
+    untouched). mat_emissive stays static-only here: the fast-shadow NEE
+    bakes the emitter ke as kernel constants, so a traced ke would
+    silently decouple from the forward values — the step still RETURNS
+    its closed-form gradient."""
+    core, ctx = make_bounce_train_core(
+        scene, camera, samples=samples, max_depth=max_depth,
+        light_samples=light_samples, ray_block=ray_block, sort=sort,
+        interpret=interpret)
+    H, W = ctx["H"], ctx["W"]
+    n_pix = ctx["n_pix"]
+    M = int(scene.num_meshes)
+    em_mesh = ctx["em_mesh"]
+    target_flat = jnp.asarray(target, jnp.float32).reshape(n_pix, 3)
+    tab0 = ctx["tab"]
+
+    @jax.jit
+    def _impl(seed, tab):
+        sse, acc, ek = core(seed, tab, jnp.int32(0), target_flat)
+        loss = sse / np.float32(H * W * 3)
         g_kd = acc[:M, 0:3]
-        g_ke = acc[:M, 3:6].at[em_mesh].add(jnp.stack(ek))
+        g_ke = acc[:M, 3:6].at[em_mesh].add(ek)
         return loss, {"mat_diffuse": g_kd, "mat_emissive": g_ke}
 
     if not dynamic_params:

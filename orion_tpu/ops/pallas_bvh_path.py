@@ -109,7 +109,8 @@ def bvh_path_supported(scene: Scene) -> bool:
     return bool((maps < 0).all())
 
 
-def _make_path_sweep(node, tab_ref, M):
+def _make_path_sweep(node, tab_ref, M, octant_copies: int = 1,
+                     leaf_width: int = LEAF_WIDTH):
     """A BVH-walk geometry sweep satisfying _make_geom's interface:
     sweep(o, d, attr_cols, alive=None) -> (t, hit, u, v, {col: [1, RB]}),
     plus sweep.any_hit(o, d, alive=None) -> [1, RB] bool.
@@ -118,8 +119,37 @@ def _make_path_sweep(node, tab_ref, M):
     ANY lane's live segment [0, t_best) slab-hits) with in-leaf winner
     picking: u, v, and each requested attribute column ride the while
     carry as [1, RB] planes and are select-reduced out of the winning
-    [LEAF_WIDTH, RB] leaf block the moment some lane improves."""
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (LEAF_WIDTH, 1), 0)
+    [LEAF_WIDTH, RB] leaf block the moment some lane improves.
+
+    octant_copies=8: the node arrays hold 8 concatenated flattenings of
+    the SAME tree (reflatten_octants), copy o ordered near-first for
+    direction octant o — each walk majority-votes its block's direction
+    octant and starts at that copy (sorted wavefronts make blocks
+    octant-uniform, so near-first order tightens t_best early and the
+    slab t-pruning culls far subtrees; leaf starts are shared, so the
+    bundled table is unchanged). The vote is a heuristic with no
+    correctness weight: every copy is a complete tree.
+
+    leaf_width=64: bundles are 64 rows at 64-aligned offsets. Mosaic
+    requires DYNAMIC lane slices at 128-multiples, so the leaf load
+    reads the surrounding 128-aligned [32, 128] slice and scalar-selects
+    the owning half — one cheap [32, 64] select buys HALF the Woop
+    plane flops per leaf visit (the dominant walk cost: ~1.2 us per
+    [128, RB] visit vs ~0.29 us per node step, BENCHMARKS.md)."""
+    assert leaf_width in (LEAF_WIDTH, 64), leaf_width
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (leaf_width, 1), 0)
+    M_per = M // octant_copies
+
+    def _walk_range(d):
+        """(first node, end) for this block's direction octant."""
+        if octant_copies == 1:
+            return jnp.int32(0), jnp.int32(M)
+        votes = [jnp.sum(jnp.where(c >= 0.0, 1.0, -1.0)) for c in d]
+        o = ((votes[0] >= 0.0).astype(jnp.int32)
+             + 2 * (votes[1] >= 0.0).astype(jnp.int32)
+             + 4 * (votes[2] >= 0.0).astype(jnp.int32))
+        base = o * np.int32(M_per)
+        return base, base + np.int32(M_per)
 
     def _slab(ptr, o, inv, t_b):
         lo = (node["lox"][ptr], node["loy"][ptr], node["loz"][ptr])
@@ -139,15 +169,24 @@ def _make_path_sweep(node, tab_ref, M):
         return (tmax >= tmin) & (tmax > 0.0) & (tmin < t_b)
 
     def _leaf_off(start):
-        # leaf starts are LEAF_WIDTH multiples; bit 0 optionally encodes
+        # leaf starts are leaf_width multiples; bit 0 optionally encodes
         # "this leaf holds NO emitter rows" (collapse/device-data sets
         # it; unencoded trees read 0 = conservative full path)
         return pl.multiple_of(jnp.maximum(start, 0) & jnp.int32(-2),
-                              LEAF_WIDTH)
+                              leaf_width)
+
+    def _leaf_blk(off):
+        if leaf_width == LEAF_WIDTH:
+            return tab_ref[:, pl.ds(off, LEAF_WIDTH)]   # [32, W]
+        # width 64: 128-aligned load + scalar half-select (dynamic lane
+        # slices must be 128-multiples; the table is 128-padded)
+        off128 = pl.multiple_of(off & jnp.int32(-128), 128)
+        full = tab_ref[:, pl.ds(off128, 128)]
+        return jnp.where((off & 64) > 0, full[:, 64:], full[:, :64])
 
     def _leaf_planes(start, o, d):
         off = _leaf_off(start)
-        blk = tab_ref[:, pl.ds(off, LEAF_WIDTH)]        # [32, W]
+        blk = _leaf_blk(off)                            # [32, W]
         blk_t = blk.T                                   # [W, 32]
         t, u, v = _woop_uv(o, d, blk_t)
         return blk_t, t, u, v
@@ -213,9 +252,10 @@ def _make_path_sweep(node, tab_ref, M):
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             return (ptr,) + state
 
-        init = ((jnp.int32(0), t0, zero, zero)
+        base, end = _walk_range(d)
+        init = ((base, t0, zero, zero)
                 + tuple(zero for _ in attr_cols))
-        out = jax.lax.while_loop(lambda c: c[0] < M, body, init)
+        out = jax.lax.while_loop(lambda c: c[0] < end, body, init)
         t_b = out[1]
         hit = t_b < cap
         if alive is not None:
@@ -251,12 +291,13 @@ def _make_path_sweep(node, tab_ref, M):
             descend = any_lane & jnp.logical_not(is_leaf)
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             settled = jnp.maximum(occ, 1.0 - need_f)
-            ptr = jnp.where(jnp.all(settled > 0.0), jnp.int32(M), ptr)
+            ptr = jnp.where(jnp.all(settled > 0.0), end, ptr)
             return ptr, occ
 
+        base, end = _walk_range(d)
         _, occ = jax.lax.while_loop(
-            lambda c: c[0] < M, body,
-            (jnp.int32(0), jnp.zeros(shape, jnp.float32)))
+            lambda c: c[0] < end, body,
+            (base, jnp.zeros(shape, jnp.float32)))
         return occ > 0.0
 
     def shadow_em(o, d, alive=None, t_cap=None, em_mesh=0):
@@ -304,9 +345,10 @@ def _make_path_sweep(node, tab_ref, M):
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             return ptr, t_b, em_f
 
+        base, end = _walk_range(d)
         _, t_b, em_f = jax.lax.while_loop(
-            lambda c: c[0] < M, body,
-            (jnp.int32(0), t0, jnp.zeros(shape, jnp.float32)))
+            lambda c: c[0] < end, body,
+            (base, t0, jnp.zeros(shape, jnp.float32)))
         vis = (t_b < cap) & (em_f > 0.0)
         if alive is not None:
             vis = vis & alive
@@ -357,7 +399,7 @@ def _make_path_sweep(node, tab_ref, M):
             def leaf_case(state):
                 t_b0, em_f0, t_b1, em_f1 = state
                 off = _leaf_off(start)
-                blk_t = tab_ref[:, pl.ds(off, LEAF_WIDTH)].T
+                blk_t = _leaf_blk(off).T
                 w = tuple(blk_t[:, _C_WOOP + i:_C_WOOP + i + 1]
                           for i in range(13))
                 # shared-origin dual Woop: both rays leave the same hit
@@ -396,9 +438,12 @@ def _make_path_sweep(node, tab_ref, M):
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             return ptr, t_b0, em_f0, t_b1, em_f1
 
+        # both sample rays leave one hit point for the same small
+        # emitter: d0's octant serves the pair
+        base, end = _walk_range(d0)
         _, t_b0, em_f0, t_b1, em_f1 = jax.lax.while_loop(
-            lambda c: c[0] < M, body, (jnp.int32(0), t00, zero, t01,
-                                       zero))
+            lambda c: c[0] < end, body, (base, t00, zero, t01,
+                                         zero))
         vis0 = (t_b0 < cap) & (em_f0 > 0.0)
         vis1 = (t_b1 < cap) & (em_f1 > 0.0)
         if alive0 is not None:
@@ -465,9 +510,10 @@ def _make_path_sweep(node, tab_ref, M):
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             return ptr, t_b, u_b, v_b, r_b
 
+        base, end = _walk_range(d)
         _, t_b, u_b, v_b, r_b = jax.lax.while_loop(
-            lambda c: c[0] < M, body,
-            (jnp.int32(0), t0, zero, zero, zero))
+            lambda c: c[0] < end, body,
+            (base, t0, zero, zero, zero))
         hit = t_b < cap
         if alive is not None:
             hit = hit & alive
@@ -536,6 +582,49 @@ def build_bvh_path_call(M, W, H, samples, max_depth, light_samples,
     )
 
 
+def reflatten_octant(lo, hi, skip, start, signs):
+    """Re-emit a flattened skip-pointer tree in a new DFS order: at each
+    internal node the child whose centroid is NEARER along the split
+    axis for a ray of direction signs `signs` comes first. Structure,
+    AABBs, and leaf `start` pointers (into the shared bundled table)
+    are unchanged — only the visit order moves, which is exactly what
+    near-first traversal with per-lane t-pruning wants (the reference's
+    recursion visits both children unconditionally in a fixed order,
+    avx/sbvh.cpp:63-82 — a measured 35-45% triangle-test reduction is
+    available from ordering alone, accel/bvh._flatten's order_signs
+    note). The split axis is recovered as the axis of largest child
+    centroid separation."""
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    skip, start = np.asarray(skip), np.asarray(start)
+    M = lo.shape[0]
+    cen = 0.5 * (lo + hi)
+    order = np.empty(M, np.int64)     # new position -> old node
+    pos = 0
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        order[pos] = i
+        pos += 1
+        if start[i] >= 0:
+            continue
+        left = i + 1
+        right = int(skip[left])
+        if right >= int(skip[i]):     # single-child chain: nothing to order
+            stack.append(left)
+            continue
+        diff = cen[left] - cen[right]
+        axis = int(np.argmax(np.abs(diff)))
+        left_is_near = (diff[axis] <= 0) == (signs[axis] > 0)
+        first, second = (left, right) if left_is_near else (right, left)
+        stack.append(second)
+        stack.append(first)           # LIFO: `first` is emitted first
+    # subtree sizes are order-invariant, and DFS subtrees stay
+    # contiguous: skip_new[p] = p + (skip_old[i] - i)
+    sizes = skip[order] - order
+    new_skip = (np.arange(M) + sizes).astype(np.int32)
+    return lo[order], hi[order], new_skip, start[order].astype(np.int32)
+
+
 def collapse_skip_levels(lo, hi, skip, start):
     """Drop every other INTERNAL level from a flattened skip-pointer
     layout (a 4-ary flatten of the same binary tree): ~23% fewer node
@@ -575,14 +664,21 @@ def collapse_skip_levels(lo, hi, skip, start):
 
 def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
                          order_signs=(1.0, 1.0, 1.0),
-                         check_cap: bool = True, with_bvh: bool = False):
+                         check_cap: bool = True, with_bvh: bool = False,
+                         octants: int = 1,
+                         leaf_width: int = LEAF_WIDTH):
     """(node_scalars tuple, tab, num_nodes[, bvh]): the replicated device
     inputs every chip's kernel shares (with_bvh additionally returns the
-    host-side tree, for in-graph material-row updaters)."""
+    host-side tree, for in-graph material-row updaters).
+
+    octants=8 emits 8 concatenated per-octant flattenings of the one
+    tree (reflatten_octant x collapse_skip_levels per copy, shared
+    bundled table); pass the matching octant_copies=8 to the kernels.
+    num_nodes is then the TOTAL (8x per-copy) length."""
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
                        np.asarray(scene.tri_e2),
                        np.asarray(scene.tri_valid), strategy=strategy,
-                       leaf_size=LEAF_WIDTH, leaf_width=LEAF_WIDTH,
+                       leaf_size=leaf_width, leaf_width=leaf_width,
                        order_signs=order_signs)
     if check_cap and bvh.num_bundled > RESIDENT_MAX_BUNDLED:
         raise ValueError(
@@ -590,8 +686,25 @@ def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
             f"residency cap ({RESIDENT_MAX_BUNDLED})")
     tab_np = pack_bvh_path_table(bvh, scene)
     tab = jnp.asarray(tab_np)
-    n_lo, n_hi, n_skip, n_start = collapse_skip_levels(
-        bvh.node_lo, bvh.node_hi, bvh.node_skip, bvh.node_start)
+    if octants == 1:
+        n_lo, n_hi, n_skip, n_start = collapse_skip_levels(
+            bvh.node_lo, bvh.node_hi, bvh.node_skip, bvh.node_start)
+    else:
+        copies = []
+        for o in range(octants):
+            signs = tuple(1.0 if (o >> a) & 1 else -1.0
+                          for a in range(3))
+            copies.append(collapse_skip_levels(*reflatten_octant(
+                bvh.node_lo, bvh.node_hi, bvh.node_skip,
+                bvh.node_start, signs)))
+        Mp = copies[0][0].shape[0]
+        assert all(c[0].shape[0] == Mp for c in copies), \
+            "octant copies must collapse to equal lengths"
+        n_lo = np.concatenate([c[0] for c in copies])
+        n_hi = np.concatenate([c[1] for c in copies])
+        n_skip = np.concatenate(
+            [c[2] + np.int32(i * Mp) for i, c in enumerate(copies)])
+        n_start = np.concatenate([c[3] for c in copies])
     # bit-0 "no emitter rows" flag on leaf starts (LEAF_WIDTH multiples,
     # low bits free): the NEE shadow walk skips the winner-row/emitter
     # reduces on leaves that cannot contain the light. Padding rows
@@ -604,7 +717,7 @@ def bvh_path_device_data(scene: Scene, *, strategy: str = SAH,
     is_em_row = np.isin(mesh_row.astype(np.int64), sorted(em_ids))
     for i in range(n_start.shape[0]):
         st0 = int(n_start[i])
-        if st0 >= 0 and not is_em_row[st0:st0 + LEAF_WIDTH].any():
+        if st0 >= 0 and not is_em_row[st0:st0 + leaf_width].any():
             n_start[i] = st0 | 1
     node_scalars = tuple(
         [jnp.asarray(n_lo[:, i]) for i in range(3)]

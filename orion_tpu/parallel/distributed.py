@@ -112,20 +112,29 @@ def measure_collective_bytes(jitted_fn, *args, **kwargs) -> dict:
     sizes = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
              "collective-permute": 0}
     count = 0
-    # e.g.  %all-reduce.1 = f32[8,128]{1,0} all-reduce(...)
-    pat = re.compile(
-        r"=\s*([a-z0-9]+)\[([0-9,]*)\][^=]*?"
-        r"(all-reduce|all-gather|reduce-scatter|collective-permute)\(")
+    # line-based: handles both scalar results
+    #   %all-reduce.1 = f32[8,128]{1,0} all-reduce(...)
+    # and TUPLE results (a multi-operand psum fuses into one op)
+    #   %all-reduce = (f32[], f32[128,8]{1,0}, f32[3]{0}) all-reduce(...)
+    op_pat = re.compile(
+        r"=\s*(.*?)\s*"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+        r"(?:-start)?\(")
+    shape_pat = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
     dtype_bytes = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
                    "u32": 4, "s64": 8, "u64": 8, "pred": 1, "s8": 1,
                    "u8": 1}
-    for m in pat.finditer(text):
-        dt, shape, op = m.groups()
-        n = 1
-        for d in shape.split(","):
-            if d:
-                n *= int(d)
-        sizes[op] += n * dtype_bytes.get(dt, 4)
+    for line in text.splitlines():
+        m = op_pat.search(line)
+        if not m:
+            continue
+        shapes, op = m.groups()
+        for dt, shape in shape_pat.findall(shapes):
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            sizes[op] += n * dtype_bytes.get(dt, 4)
         count += 1
     total = sum(sizes.values())
     return {"ops": count, "bytes_per_call": total, "by_kind": sizes}

@@ -185,6 +185,126 @@ def make_bvh_render_sharded(scene: Scene, camera, *, samples: int,
     return render_sharded
 
 
+def make_bounce_render_sharded(scene: Scene, camera, *, samples: int,
+                               max_depth: int, light_samples: int = 2,
+                               ray_block: int | None = None,
+                               sort: bool = True,
+                               octant_trees: bool = False,
+                               devices=None,
+                               interpret: bool | None = None):
+    """`fn(key) -> [H, W, 3]`: the sorted-wavefront bounce pipeline
+    (ops/pallas_bounce.py — the production big-scene path backend) with
+    one pipeline per chip. Each chip owns a contiguous pixel tile and
+    runs its OWN wavefront end to end — per-chip sorts, per-chip
+    compaction ladder, per-chip kernels — with the scene table and
+    per-octant trees replicated in HBM; there are ZERO forward
+    collectives. Per-ray streams hash global pixel ids, so every ray
+    computes the single-chip value exactly; only the per-pixel sample
+    ADDITION ORDER matches too (each pixel's 16 sample lanes live on
+    one chip in the same relative order), making the sharded image
+    bit-identical up to XLA scatter scheduling (tests/test_bounce_shard
+    asserts allclose at 1e-6)."""
+    from orion_tpu.ops import pallas_bounce as pb
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _mesh(devices)
+    n_chips = mesh.devices.size
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    per = -(-n_pix // n_chips)
+    rb = pb.RAY_BLOCK if ray_block is None else ray_block
+
+    pipeline, ctx = pb.build_forward_pipeline(
+        scene, camera, samples=samples, max_depth=max_depth,
+        light_samples=light_samples, ray_block=rb, sort=sort,
+        octant_trees=octant_trees, interpret=interpret, pix_count=per)
+    tab0 = ctx["tab"]
+
+    def shard_fn(seed):
+        base = (jax.lax.axis_index(AXIS) * per).astype(jnp.int32)
+        st, it, _ = pipeline(seed, tab0, pix_base=base)
+        img = jnp.zeros((per, 3), jnp.float32)
+        # padding lanes ride pixel id 0: for chips past the first that
+        # is out of tile (dropped); for chip 0 it adds zero radiance
+        img = img.at[it[0] - base].add(st[10:13].T, mode="drop")
+        return img
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(),
+                        out_specs=P(AXIS, None), check_vma=False)
+
+    @jax.jit
+    def _impl(seed):
+        img = sharded(seed)                        # [n_chips*per, 3]
+        return img[:n_pix].reshape(H, W, 3) / np.float32(samples)
+
+    def render_sharded(key) -> jax.Array:
+        return _impl(seed_scalar(key))
+
+    return render_sharded
+
+
+def make_bounce_train_step_sharded(scene: Scene, camera, target, *,
+                                   samples: int, max_depth: int,
+                                   light_samples: int = 2,
+                                   ray_block: int | None = None,
+                                   sort: bool = True,
+                                   devices=None,
+                                   interpret: bool | None = None):
+    """`step(key) -> (loss, grads)`: the closed-form bounce-PRB trainer
+    (ops/pallas_bounce_prb.py) ray-data-parallel across the mesh. Each
+    chip runs the full forward pipeline + dump replay on its own pixel
+    tile (target tiles along pixels with it); the ONLY collective is
+    one psum of the (sse, material-grad accumulator, emitter-ke triple)
+    pytree — ~4 KB/step riding ICI — after which every chip holds the
+    global loss and dLoss/d(materials), summed exactly (the MSE
+    normalization is baked globally into each tile's cotangent)."""
+    from orion_tpu.ops import pallas_bounce_prb as pbr
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _mesh(devices)
+    n_chips = mesh.devices.size
+    H, W = camera.yres, camera.xres
+    n_pix = H * W
+    per = -(-n_pix // n_chips)
+    rb = pbr.RAY_BLOCK if ray_block is None else ray_block
+    M = int(scene.num_meshes)
+
+    core, ctx = pbr.make_bounce_train_core(
+        scene, camera, samples=samples, max_depth=max_depth,
+        light_samples=light_samples, ray_block=rb, sort=sort,
+        interpret=interpret, pix_count=per)
+    em_mesh = ctx["em_mesh"]
+    tab0 = ctx["tab"]
+    pad = n_chips * per - n_pix
+    target_flat = jnp.pad(
+        jnp.asarray(target, jnp.float32).reshape(n_pix, 3),
+        ((0, pad), (0, 0)))
+
+    def shard_fn(seed, tgt):
+        base = (jax.lax.axis_index(AXIS) * per).astype(jnp.int32)
+        sse, acc, ek = core(seed, tab0, base, tgt)
+        return jax.lax.psum((sse, acc, ek), AXIS)
+
+    sharded = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(P(), P(AXIS, None)),
+                        out_specs=P(), check_vma=False)
+
+    @jax.jit
+    def _impl(seed):
+        sse, acc, ek = sharded(seed, target_flat)
+        loss = sse / np.float32(H * W * 3)
+        g_kd = acc[:M, 0:3]
+        g_ke = acc[:M, 3:6].at[em_mesh].add(ek)
+        return loss, {"mat_diffuse": g_kd, "mat_emissive": g_ke}
+
+    def step(key):
+        return _impl(seed_scalar(key))
+
+    return step
+
+
 def make_fused_train_step_sharded(scene: Scene, camera, target, *,
                                   samples: int, max_depth: int,
                                   light_samples: int = 2,
