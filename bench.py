@@ -586,6 +586,56 @@ def cfg_cornell_subdiv35k_path():
     return best
 
 
+def cfg_cornell_subdiv35k_textured_path():
+    """Textured path tracing past the brute gate (VERDICT r4 #4): the
+    34.8k-tri subdivided cornell with an 8x8 checker diffuse texture on
+    every non-emissive material (uvs from world xy, wrapping), through
+    the bounce pipeline's per-bounce texel resolve — the reference
+    reads the diffuse texture at every depth (material.hpp:95-105);
+    until round 5 textured path scenes fell to the treelet wavefront
+    at ~50x lower throughput."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orion_tpu.camera import camera_from_rtc
+    from orion_tpu.ops.pallas_bounce import make_bounce_path_renderer
+    from orion_tpu.scene import load_scene, subdivide_scene
+
+    scene, r = load_scene(f"{ASSETS}/cornell-box.rtc")
+    scene = subdivide_scene(scene, levels=5)
+    r.xres = r.yres = 256
+    cam = camera_from_rtc(r)
+
+    tex = np.full((8, 8, 3), 0.25, np.float32)
+    tex[::2, ::2] = (0.9, 0.75, 0.5)
+    tex[1::2, 1::2] = (0.5, 0.75, 0.9)
+    M = int(np.asarray(scene.mat_diffuse).shape[0])
+    em = set(int(i) for i in np.asarray(scene.emissive_mesh_ids)
+             [:scene.num_emissive])
+    mm = np.array([-1 if m in em else 0 for m in range(M)], np.int32)
+    v0 = np.asarray(scene.tri_v0)
+    v1 = v0 + np.asarray(scene.tri_e1)
+    v2 = v0 + np.asarray(scene.tri_e2)
+    scene = dataclasses.replace(
+        scene,
+        tex_atlas=jnp.asarray(tex), tex_off=jnp.zeros((1, 2), jnp.int32),
+        tex_hw=jnp.asarray([[8, 8]], jnp.int32),
+        mat_map_diffuse=jnp.asarray(mm),
+        uv0=jnp.asarray(v0[:, :2] * 0.8), uv1=jnp.asarray(v1[:, :2] * 0.8),
+        uv2=jnp.asarray(v2[:, :2] * 0.8))
+
+    fn = make_bounce_path_renderer(scene, cam, samples=16, max_depth=8,
+                                   light_samples=2)
+    dt = _time_calls(lambda: fn(jax.random.key(0)), 3)
+    return {"backend": "bounce-pallas+textured",
+            "triangles": int(scene.num_triangles),
+            "seconds": round(dt, 4),
+            "primary_rays_per_s": round(256 * 256 * 16 / dt, 1)}
+
+
 def cfg_prb_train_subdiv35k():
     """Differentiable rendering past the brute gate: train step on the
     34.8k-triangle subdivided cornell, 256x256 4 spp depth 4 — the
@@ -640,6 +690,59 @@ def cfg_prb_train_subdiv35k():
     return best
 
 
+def cfg_vertex_train_subdiv35k():
+    """Geometry-gradient training at scale (VERDICT r4 next #5): one
+    vertex-parameter train step — forward render + backward to tri_v0 —
+    on the 34,818-tri subdivided cornell at 256x256, 2 spp, depth 2,
+    through the refitted BVH (wavefront AD, remat='hits'; the refit
+    itself runs per step, host-side, and is timed in). The reference
+    has no gradients at all; BASELINE.json's north star says they flow
+    to vertex positions."""
+    import dataclasses
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orion_tpu.engine import prepare, select_intersect
+    from orion_tpu.optim import make_refit_loss
+    from orion_tpu.scene import subdivide_scene
+
+    xres = yres = 256
+    samples, depth = 2, 2
+    ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=xres, yres=yres,
+                 force_backend="bvh-pallas")
+    scene = subdivide_scene(ps.scene, levels=5)
+    fn, backend, bvh, _ = select_intersect(scene, force="bvh-pallas")
+    ps = dataclasses.replace(ps, scene=scene, intersect=fn,
+                             backend=backend, bvh=bvh)
+    loss, plan = make_refit_loss(ps, samples=samples, max_depth=depth,
+                                 light_samples=2, mode="path")
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    key = jax.random.key(0)
+    target = jnp.zeros((yres, xres, 3), jnp.float32)
+    v0 = np.asarray(scene.tri_v0)
+
+    def step(v):
+        ns, td = plan.refit(v, scene.tri_e1, scene.tri_e2)
+        l, g = grad_fn({"tri_v0": jnp.asarray(v)}, key, target, ns, td)
+        return l, g["tri_v0"]
+
+    l, g = step(v0)
+    _ = float(l) + float(jnp.sum(g))
+    t0 = _t.perf_counter()
+    iters = 3
+    for _i in range(iters):
+        l, g = step(v0)
+    _ = float(l) + float(jnp.sum(g))
+    dt = (_t.perf_counter() - t0) / iters
+    primary = xres * yres * samples
+    return {"backend": backend + "+refit", "triangles": 34818,
+            "params": ["tri_v0"], "seconds": round(dt, 4),
+            "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
+
+
 CONFIGS = {
     # name: (runner, subprocess timeout seconds)
     "canary": (cfg_canary, 420),
@@ -652,7 +755,10 @@ CONFIGS = {
         (cfg_nanosuit_untextured_1024_64spp, 900),
     "cornell_subdiv2k_path_512_16spp": (cfg_cornell_subdiv2k_path, 900),
     "cornell_subdiv35k_path_256_16spp": (cfg_cornell_subdiv35k_path, 1200),
+    "cornell_subdiv35k_textured_path_256":
+        (cfg_cornell_subdiv35k_textured_path, 1200),
     "prb_train_subdiv35k_256_4spp": (cfg_prb_train_subdiv35k, 1200),
+    "vertex_train_subdiv35k_256": (cfg_vertex_train_subdiv35k, 1200),
     "cornell_prb_train_fhd_4spp": (cfg_cornell_prb_train_fhd_4spp, 900),
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
@@ -676,6 +782,7 @@ BATCHES = [
     ["synthetic_200k_whitted_512"],                   # round-4 casualty
     ["cornell_subdiv35k_path_256_16spp",              # flagship axis
      "prb_train_subdiv35k_256_4spp",
+     "cornell_subdiv35k_textured_path_256",
      "vertex_train_subdiv35k_256"],
     ["cornell_whitted_256_1spp", "view_test_whitted_512_4spp",
      "nanosuit_ref_400x600", "cornell_fwdbwd_256_4spp",

@@ -147,13 +147,18 @@ def make_big_path_renderer(scene: Scene, camera, *, samples: int,
     IS production (/root/reference/orion/avx/sbvh.cpp:26-83); here the
     best backend depends on scene scale and bounce coherence.
     """
-    from orion_tpu.ops.pallas_bvh_path import bvh_path_supported
+    from orion_tpu.ops.pallas_bvh_path import (bounce_textured_supported,
+                                               bvh_path_supported)
 
-    if not bvh_path_supported(scene):
+    textured = not bvh_path_supported(scene)
+    if textured and not bounce_textured_supported(scene):
         raise ValueError("scene outside the bvh-path gate "
                          "(textures / emitters)")
     errs = []
-    for cand in (order or BIG_PATH_ORDER):
+    # textured path scenes: only the bounce pipeline resolves texels
+    # per bounce (VERDICT r4 #4); the resident-walk fallback stays
+    # untextured-only
+    for cand in (order or (("bounce",) if textured else BIG_PATH_ORDER)):
         try:
             if cand == "bounce":
                 from orion_tpu.ops.pallas_bounce import \

@@ -63,8 +63,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orion_tpu.ops.pallas_bvh_path import (_make_path_sweep,
+                                           bounce_textured_supported,
                                            bvh_path_device_data,
-                                           bvh_path_supported)
+                                           bvh_path_supported,
+                                           pack_bvh_tex_table)
 from orion_tpu.ops.pallas_fused import (_BIG, _BOUNCE_ATTRS, _C_AREA,
                                         _C_KD, _C_KE, _C_N0, _C_MESH,
                                         _cosine_bounce, _emitters_consts,
@@ -527,9 +529,10 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
                            interpret: bool | None = None,
                            with_aux: bool = False,
                            split_vis: bool = False,
-                           octant_trees: bool = False,
+                           octant_trees: bool = True,
                            leaf_width: int = 128,
                            pix_count: int | None = None,
+                           textured: bool | None = None,
                            _exp: dict | None = None):
     """The sorted-wavefront forward pass, shared by the renderer and the
     closed-form PRB trainer: returns (pipeline, ctx) where
@@ -551,9 +554,26 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
     starting at the traced pixel id pipeline(..., pix_base=...) — the
     ray-DP unit for parallel/fused_shard.make_bounce_render_sharded.
     Per-ray streams hash GLOBAL pixel ids, so a tiled render equals the
-    whole-image render ray-for-ray."""
+    whole-image render ray-for-ray.
+
+    textured (None = auto when the scene carries diffuse maps): resolve
+    the diffuse texture at the winner uv EVERY bounce, in the jnp phase
+    between the walk and shade kernels — the walk already hands over
+    (u, v, winner row); one more row-major gather fetches the corner
+    uvs, the atlas metadata rides a one-hot MXU row-read by material,
+    and the sampled texel replaces the kd planes the shade kernel
+    consumes (NEE factor, RR continuation, throughput — exactly where
+    the reference reads its diffuse texture at every depth,
+    /root/reference/orion/material.hpp:95-105, raytracer.cpp:164-194).
+    Wrap semantics are shade.sample_texture's floored-mod (PARITY)."""
     _exp = _exp or {}
-    if not bvh_path_supported(scene):
+    if textured is None:
+        textured = bool((np.asarray(scene.mat_map_diffuse) >= 0).any())
+    if textured:
+        if not bounce_textured_supported(scene):
+            raise ValueError("scene outside the textured bounce gate "
+                             "(emitters)")
+    elif not bvh_path_supported(scene):
         raise ValueError("scene outside the bvh-path gate "
                          "(textures / emitters)")
     if interpret is None:
@@ -573,6 +593,37 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         octants=octant_copies, leaf_width=leaf_width)
     emitter = _emitters_consts(scene)
     s_lo, s_hi = _scene_bounds_np(scene)
+    if textured:
+        from orion_tpu.ops.intersect import take_rows
+        from orion_tpu.ops.shade import _mat_tex_table
+
+        texT = jnp.asarray(pack_bvh_tex_table(bvh, scene))   # [B_pad, 8]
+        tex_meta = _mat_tex_table(scene, scene.mat_map_diffuse)  # [M, 5]
+        atlas = scene.tex_atlas
+
+        def resolve_texels(hitdata, rows, attrs):
+            """kd := diffuse texture at the winner hit's uv (solid kd
+            where the material carries no map / the lane missed)."""
+            texd = texT[rows]                        # [sz, 8]
+            u_, v_ = hitdata[1], hitdata[2]
+            w_ = 1.0 - u_ - v_
+            uvx = (w_ * texd[:, 0] + u_ * texd[:, 2] + v_ * texd[:, 4])
+            uvy = (w_ * texd[:, 1] + u_ * texd[:, 3] + v_ * texd[:, 5])
+            mat = attrs[_C_MESH].astype(jnp.int32)
+            rows5 = take_rows(tex_meta, mat)         # [sz, 5] (MXU)
+            has = (rows5[:, 0] > 0.5) & (hitdata[4] > 0.0)
+            w_i = jnp.maximum(rows5[:, 2].astype(jnp.int32), 1)
+            h_i = jnp.maximum(rows5[:, 1].astype(jnp.int32), 1)
+            ui = jnp.mod(jnp.floor(uvx * rows5[:, 2]).astype(jnp.int32),
+                         w_i)
+            vi = jnp.mod(jnp.floor(uvy * rows5[:, 1]).astype(jnp.int32),
+                         h_i)
+            oy = rows5[:, 3].astype(jnp.int32)
+            ox = rows5[:, 4].astype(jnp.int32)
+            texel = atlas[oy + vi, ox + ui]          # [sz, 3]
+            kd_new = jnp.where(has[None, :], texel.T,
+                               attrs[_C_KD:_C_KD + 3])
+            return attrs.at[_C_KD:_C_KD + 3].set(kd_new)
 
     # Wavefront COMPACTION (round 4): after the dead-last sort, live
     # lanes occupy a prefix — so deep bounces (live fraction 1-5%) need
@@ -676,6 +727,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         # faster at the sorted wavefront's clustered rows
         # (experiments/exp_r5_gather.py); bit-identical values
         attrs = tabT[rows].T
+        if textured:
+            attrs = resolve_texels(hitdata, rows, attrs)
         args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
         if _exp.get("fake_gather"):   # timing probe: gather -> broadcast
             attrs = jnp.broadcast_to(tab[:, :1], (tab.shape[0], sz))
@@ -746,6 +799,12 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             def do_sort(st, it):
                 st, it = jax.lax.switch(prev, [make_sort_branch(sz)
                                                for sz in sizes], st, it)
+                if _exp.get("double_sort"):   # timing probe: the second
+                    # pass sorts already-sorted keys (identical work,
+                    # image unchanged) -> delta == per-bounce sort cost
+                    st, it = jax.lax.switch(prev, [make_sort_branch(sz)
+                                                   for sz in sizes],
+                                            st, it)
                 live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
                 thresholds = jnp.asarray(sizes, jnp.int32)
                 idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
@@ -793,8 +852,9 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
                               sort_every: int = 1,
                               interpret: bool | None = None,
                               split_vis: bool = False,
-                              octant_trees: bool = False,
+                              octant_trees: bool = True,
                               leaf_width: int = 128,
+                              textured: bool | None = None,
                               _exp: dict | None = None):
     """Build `fn(key) -> [H, W, 3]`: sorted-wavefront path tracing, one
     fused kernel launch per bounce. Same scene gate as the BVH path
@@ -803,7 +863,8 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
         scene, camera, samples=samples, max_depth=max_depth,
         light_samples=light_samples, ray_block=ray_block, sort=sort,
         sort_every=sort_every, interpret=interpret, split_vis=split_vis,
-        octant_trees=octant_trees, leaf_width=leaf_width, _exp=_exp)
+        octant_trees=octant_trees, leaf_width=leaf_width,
+        textured=textured, _exp=_exp)
     n_pix, H, W = ctx["n_pix"], ctx["H"], ctx["W"]
     tab0 = ctx["tab"]
 

@@ -89,6 +89,46 @@ def pack_bvh_path_table(bvh: BVH, scene: Scene) -> np.ndarray:
     return tab
 
 
+def pack_bvh_tex_table(bvh: BVH, scene: Scene) -> np.ndarray:
+    """[B_pad, 8] ROW-major per-bundled-row texture data for the bounce
+    pipeline's deferred per-bounce texturing: cols 0-5 = the three
+    corner uvs (uv0 uv1 uv2, xy each), 6-7 pad. Row-major so the
+    per-bounce winner-row gather reads 32 contiguous bytes
+    (exp_r5_gather). The diffuse map id is NOT here — it is per
+    MATERIAL, resolved on the MXU from a [M, 5] atlas-metadata table
+    (shade._mat_tex_table) keyed by the winner's material row."""
+    B = int(bvh.tri_v0.shape[0])
+    B_pad = ((max(B, LEAF_WIDTH) + LEAF_WIDTH - 1)
+             // LEAF_WIDTH) * LEAF_WIDTH
+    out = np.zeros((B_pad, 8), np.float32)
+    T = int(scene.num_triangles)
+    raw = np.asarray(bvh.tri_orig)[:B]
+    orig = np.clip(raw, 0, T - 1)
+    m = (raw >= 0).astype(np.float32)[:, None]
+    out[:B, 0:2] = np.asarray(scene.uv0)[orig] * m
+    out[:B, 2:4] = np.asarray(scene.uv1)[orig] * m
+    out[:B, 4:6] = np.asarray(scene.uv2)[orig] * m
+    return out
+
+
+def bounce_textured_supported(scene: Scene) -> bool:
+    """The TEXTURED bounce-pipeline gate: path scenes whose estimator
+    needs only kd(uv) and solid ke — diffuse texture maps allowed on
+    any material (the reference's path branch reads the diffuse
+    texture at every depth, material.hpp:95-105; specular/bump maps
+    are Whitted-only and simply unused here), emitters still small
+    with solid ke (the fast-shadow NEE bakes them as constants; the
+    importer never loads emissive maps, model.cpp:195-227)."""
+    if not (1 <= scene.num_emissive <= FUSED_MAX_EMITTERS):
+        return False
+    for i in range(scene.num_emissive):
+        em = int(np.asarray(scene.emissive_mesh_ids)[i])
+        if (int(np.asarray(scene.mesh_tri_count)[em])
+                > FUSED_MAX_EMITTER_TRIS):
+            return False
+    return True
+
+
 def bvh_path_supported(scene: Scene) -> bool:
     """Engine gate: untextured path scene with small emissive meshes (the
     NEE emitter constants are baked per mesh, exactly the fused gate) —

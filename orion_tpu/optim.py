@@ -157,10 +157,27 @@ def _prb_loss_and_grad(ps, target, params, *, samples, max_depth,
     """
     if loss_fn is not None:
         return None
+    whitted = (mode == "whitted"
+               or (mode is None
+                   and int(getattr(ps.scene, "num_lights", 0)) > 0))
+    if whitted:
+        # Whitted-mode closed form (ops/prb_whitted.py): the Phong
+        # estimator's finite mirror chain — forward dumps coefficient
+        # planes, backward is pure arithmetic (VERDICT r4 next #8)
+        from orion_tpu.ops.prb_whitted import (make_whitted_train_step,
+                                               whitted_train_supported)
+
+        if not set(params) <= {"mat_diffuse", "mat_specular",
+                               "mat_ambient", "mat_emissive"}:
+            return None
+        if not whitted_train_supported(ps.scene):
+            return None
+        return make_whitted_train_step(
+            ps.scene, ps.camera, target, samples=samples,
+            max_depth=max_depth, intersect=ps.intersect,
+            shadow_intersect=getattr(ps, "shadow_intersect", None))
     if mode not in (None, "path"):
         return None
-    if mode is None and int(getattr(ps.scene, "num_lights", 0)) > 0:
-        return None  # auto-mode resolves to whitted
     if not set(params) <= {"mat_diffuse", "mat_emissive"}:
         return None
     from orion_tpu.ops.pallas_prb import (fused_train_supported,

@@ -189,7 +189,7 @@ def make_bounce_render_sharded(scene: Scene, camera, *, samples: int,
                                max_depth: int, light_samples: int = 2,
                                ray_block: int | None = None,
                                sort: bool = True,
-                               octant_trees: bool = False,
+                               octant_trees: bool = True,
                                devices=None,
                                interpret: bool | None = None):
     """`fn(key) -> [H, W, 3]`: the sorted-wavefront bounce pipeline
