@@ -41,11 +41,12 @@ to nearest-hit ties (tests/test_bounce.py). RNG parity with
 ops/pallas_bvh_path.py's regenerative megakernel is per-site identical
 when samples ride lanes (samp = lane's static sample index).
 
-State layout (HBM, between bounces):
-  f32 [16, N]: 0-2 origin, 3-5 dir, 6-8 throughput, 9 alive flag,
-               10-12 accumulated radiance, 13 sort key (integer-valued,
-               < 2^22 so exact in f32), 14-15 pad
-  i32 [8, N]:  0 pixel id, 1 sample index, 2-7 pad (8 rows for tiling)
+State layout (HBM, between bounces) — ONE f32 [16, N] array:
+  0-2 origin, 3-5 dir, 6-8 throughput, 9 alive flag, 10-12 accumulated
+  radiance, 13 sort key (integer-valued, < 2^22 so exact in f32),
+  14 pixel id, 15 sample index (both integer-valued < 2^24 so exact in
+  f32 — folding the old separate i32 rider array into the state cut
+  the inter-bounce permute traffic by a third, round 5)
 
 vs the reference: the same estimator as RayTracer::trace's BRDF branch
 (/root/reference/orion/raytracer.cpp:105-194) — the reference's
@@ -289,7 +290,7 @@ def _make_vis_kernel(M: int, light_samples: int, emitter,
     shade kernel then runs walk-free. Same draws, same walk, same
     gating as the in-shade path (bit-identical vis planes)."""
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
-               n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
+               n_hiz, n_skip, n_start, st_ref, hit_ref,
                attr_ref, tab_ref, out_ref):
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
@@ -310,8 +311,9 @@ def _make_vis_kernel(M: int, light_samples: int, emitter,
         h = (o[0] + t * d[0], o[1] + t * d[1], o[2] + t * d[2])
         sn = _interp_n(u, v, got, _C_N0, _C_N0 + 3, _C_N0 + 6)
         gn = _gn_from_got(got)
-        pix = int_ref[0:1, :]
-        samp = int_ref[1:2, :]
+        # pix/samp ride state rows 14/15 as f32 (exact: < 2^24)
+        pix = st_ref[14:15, :].astype(jnp.int32)
+        samp = st_ref[15:16, :].astype(jnp.int32)
         nee_vis = _make_nee(real, emitter, seed, pix, light_samples,
                             fast_shadow=True, vis_only=True)
         v0, v1 = nee_vis(samp, depth, h, gn, tuple(sn), hit)
@@ -327,7 +329,7 @@ def build_vis_call(num_nodes: int, light_samples: int, emitter,
                    grid_sz: int | None = None,
                    octant_copies: int = 1, leaf_width: int = 128):
     """(seed [1], depth [1], *node_scalars, state [16, n_pad],
-    ints [8, n_pad], hitdata [8, grid_sz], attrs [32, grid_sz], tab)
+    hitdata [8, grid_sz], attrs [32, grid_sz], tab)
     -> vis [8, grid_sz] (rows 0-1: the pair visibility planes)."""
     grid_sz = n_pad if grid_sz is None else grid_sz
     kernel = _make_vis_kernel(num_nodes, light_samples, emitter,
@@ -337,8 +339,6 @@ def build_vis_call(num_nodes: int, light_samples: int, emitter,
         num_scalar_prefetch=10,
         grid=(grid_sz // ray_block,),
         in_specs=[pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
@@ -365,7 +365,7 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
     (fused dual-sample, lean carries) run here against the resident
     tree; the main walk never re-runs."""
     def kernel(seed_ref, depth_ref, n_lox, n_loy, n_loz, n_hix, n_hiy,
-               n_hiz, n_skip, n_start, st_ref, int_ref, hit_ref,
+               n_hiz, n_skip, n_start, st_ref, hit_ref,
                attr_ref, *rest):
         rest = list(rest)
         if split_vis:
@@ -375,7 +375,7 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
             nee_vis = None
         if with_aux:
             rest.pop(0)   # aux_in: zero-filled alias target, unread
-        tab_ref, out_ref, iout_ref, *aux_refs = rest
+        tab_ref, out_ref, *aux_refs = rest
         node = {"lox": n_lox, "loy": n_loy, "loz": n_loz,
                 "hix": n_hix, "hiy": n_hiy, "hiz": n_hiz,
                 "skip": n_skip, "start": n_start}
@@ -406,8 +406,13 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
         thr = (st_ref[6:7, :], st_ref[7:8, :], st_ref[8:9, :])
         alive = st_ref[9:10, :] > 0.0
         acc = (st_ref[10:11, :], st_ref[11:12, :], st_ref[12:13, :])
-        pix = int_ref[0:1, :]
-        samp = int_ref[1:2, :]
+        # pix/samp ride state rows 14/15 as f32 (exact: < 2^24), so the
+        # whole per-lane state is ONE array — the inter-bounce sort
+        # permutes 16 rows instead of 16 + 8
+        pixf = st_ref[14:15, :]
+        sampf = st_ref[15:16, :]
+        pix = pixf.astype(jnp.int32)
+        samp = sampf.astype(jnp.int32)
 
         if with_aux:
             (aux_ref,) = aux_refs
@@ -436,8 +441,8 @@ def _make_shade_kernel(M: int, max_depth: int, light_samples: int,
         out_ref[11:12, :] = acc[1] + rad[1]
         out_ref[12:13, :] = acc[2] + rad[2]
         out_ref[13:14, :] = key.astype(jnp.float32)
-        out_ref[14:16, :] = jnp.zeros((2, out_ref.shape[1]), jnp.float32)
-        iout_ref[:, :] = int_ref[:, :]
+        out_ref[14:15, :] = pixf
+        out_ref[15:16, :] = sampf
 
     return kernel
 
@@ -454,16 +459,17 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                      octant_copies: int = 1, leaf_width: int = 128):
     """The per-bounce shade call:
     (seed [1], depth [1], *node_scalars, state [16, n_pad],
-     ints [8, n_pad], hitdata [8, grid_sz], attrs [32, grid_sz]
+     hitdata [8, grid_sz], attrs [32, grid_sz]
      [, vis [8, grid_sz]], tab)
-    -> (state' [16, n_pad], ints' [8, n_pad][, aux [16, n_pad]]) —
+    -> (state' [16, n_pad][, aux [16, n_pad]]) —
     aux carries the replay planes (_make_bounce_step with_aux) for the
     closed-form PRB trainer; split_vis consumes the standalone vis
-    kernel's planes instead of walking shadows here.
+    kernel's planes instead of walking shadows here. pix/samp ride
+    state rows 14/15 (f32, exact below 2^24 — guarded at build).
 
-    The state and ints outputs ALIAS their inputs (guaranteed in-place:
-    Mosaic operand-output aliasing), and grid_sz < n_pad runs only the
-    live prefix — the dead suffix keeps its pixel ids and accumulated
+    The state output ALIASES its input (guaranteed in-place: Mosaic
+    operand-output aliasing), and grid_sz < n_pad runs only the live
+    prefix — the dead suffix keeps its pixel ids and accumulated
     radiance with zero copies. with_aux adds a zero-filled aux input
     aliased to the aux output so the suffix dumps stay zero (the PRB
     realignment scatter-adds the full width)."""
@@ -474,11 +480,8 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                                 octant_copies=octant_copies,
                                 leaf_width=leaf_width)
     out_specs = (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                              memory_space=pltpu.VMEM))
-    out_shape = (jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-                 jax.ShapeDtypeStruct((8, n_pad), jnp.int32))
+                              memory_space=pltpu.VMEM),)
+    out_shape = (jax.ShapeDtypeStruct((16, n_pad), jnp.float32),)
     if with_aux:
         out_specs += (pl.BlockSpec((16, ray_block), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),)
@@ -487,13 +490,11 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, ray_block), lambda i, *_: (0, i),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, ray_block), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM)]
     # input indices for aliasing count the scalar-prefetch operands
-    n_in = 14   # seed, depth, 8 node arrays, st, it, hitdata, attrs
-    aliases = {10: 0, 11: 1}   # st -> st', it -> it'
+    n_in = 13   # seed, depth, 8 node arrays, st, hitdata, attrs
+    aliases = {10: 0}   # st -> st'
     if split_vis:
         in_specs.append(pl.BlockSpec((8, ray_block),
                                      lambda i, *_: (0, i),
@@ -503,7 +504,7 @@ def build_shade_call(num_nodes: int, max_depth: int, light_samples: int,
         in_specs.append(pl.BlockSpec((16, ray_block),
                                      lambda i, *_: (0, i),
                                      memory_space=pltpu.VMEM))
-        aliases[n_in] = 2      # zero aux_in -> aux'
+        aliases[n_in] = 1      # zero aux_in -> aux'
         n_in += 1
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -536,8 +537,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
                            _exp: dict | None = None):
     """The sorted-wavefront forward pass, shared by the renderer and the
     closed-form PRB trainer: returns (pipeline, ctx) where
-    pipeline(seed) -> (st, it, dumps) with st/it the final [16, n_pad] /
-    [8, n_pad] wavefront state and dumps = () or, with_aux=True,
+    pipeline(seed) -> (st, dumps) with st the final [16, n_pad]
+    wavefront state and dumps = () or, with_aux=True,
     (aux [D+1, 16, n_pad], pix_d [D+1, n_pad], samp_d [D+1, n_pad]) —
     per-depth replay planes in each depth's OWN lane order (realign by
     the rider pix/samp). ctx carries the static geometry/bookkeeping.
@@ -583,6 +584,8 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
 
     H, W = camera.yres, camera.xres
     n_pix = H * W
+    if n_pix >= (1 << 24):
+        raise ValueError("pixel ids must stay exact in f32 (< 2^24)")
     pix_count = n_pix if pix_count is None else pix_count
     N = pix_count * samples
     n_pad = _round_up(max(N, ray_block), ray_block)
@@ -708,7 +711,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         return pix, samp, x * 0 + cam_v[0], x * 0 + cam_v[1], \
             x * 0 + cam_v[2], dx, dy, dz
 
-    def run_call(sz, seed, depth, st, it, tab, tabT):
+    def run_call(sz, seed, depth, st, tab, tabT):
         """One bounce on the live prefix (the first sz lanes): lean walk
         kernel -> HBM attribute gather by winner row -> shade kernel.
         The st/it state is FULL width with a prefix grid (the shade
@@ -729,22 +732,23 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         attrs = tabT[rows].T
         if textured:
             attrs = resolve_texels(hitdata, rows, attrs)
-        args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
+        args = [seed, depth, *node_scalars, st, hitdata, attrs]
         if _exp.get("fake_gather"):   # timing probe: gather -> broadcast
             attrs = jnp.broadcast_to(tab[:, :1], (tab.shape[0], sz))
-            args = [seed, depth, *node_scalars, st, it, hitdata, attrs]
+            args = [seed, depth, *node_scalars, st, hitdata, attrs]
         if split_vis:
-            args.append(vis_calls[sz](*args[:2], *node_scalars, st, it,
+            args.append(vis_calls[sz](*args[:2], *node_scalars, st,
                                       hitdata, attrs, tab))
         if with_aux:
             args.append(jnp.zeros((16, n_pad), jnp.float32))
         out = shade_calls[sz](*args, tab)
-        stp, itp = out[0], out[1]
+        stp = out[0]
         if not with_aux:
-            return stp, itp, ()
-        # rider pix/samp for realignment: the LAUNCH order (itp == input
-        # its: the kernel passes ints through)
-        return stp, itp, (out[2], itp[0], itp[1])
+            return stp, ()
+        # rider pix/samp for realignment: the LAUNCH order (rows 14/15
+        # pass through the kernel unchanged)
+        return stp, (out[1], stp[14].astype(jnp.int32),
+                     stp[15].astype(jnp.int32))
 
     def pipeline(seed, tab=tab, pix_base=None):
         tabT = tab.T   # materialized once; run_call's row-major gathers
@@ -756,14 +760,16 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
         st = st.at[3, :N].set(dx).at[4, :N].set(dy).at[5, :N].set(dz)
         st = st.at[6:9, :N].set(1.0)
         st = st.at[9, :N].set(1.0)
-        it = jnp.zeros((8, n_pad), jnp.int32)
-        it = it.at[0, :N].set(pix).at[1, :N].set(samp)
+        # pix/samp ride rows 14/15 as f32 (exact: n_pix < 2^24, guarded
+        # below) — ONE state array, so the inter-bounce sort permutes
+        # 16 rows instead of 16 + 8
+        st = st.at[14, :N].set(pix.astype(jnp.float32))
+        st = st.at[15, :N].set(samp.astype(jnp.float32))
         depth0 = jnp.zeros((1,), jnp.int32)
 
         def make_kernel_branch(sz, depth):
-            def branch(st, it):
-                return run_call(sz, seed, depth[None], st, it, tab,
-                                tabT)
+            def branch(st):
+                return run_call(sz, seed, depth[None], st, tab, tabT)
 
             return branch
 
@@ -773,62 +779,82 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
             # since it was cut). Dead-lane order is estimator-free
             # (scatter-add by pixel id), so sorting the prefix alone is
             # image-identical to the full-width sort.
-            def branch(st, it):
+            def branch(st):
+                if _exp.get("count_sort"):
+                    # stable counting sort on the OCTANT bits alone
+                    # (bucket 8 = dead): O(N) cumsum passes instead of
+                    # a bitonic argsort; within-bucket order stays the
+                    # PREVIOUS bounce's spatial order, so most of the
+                    # morton locality survives
+                    key = st[13, :szp].astype(jnp.int32)
+                    b = key >> (3 * MORTON_BITS)
+                    oh = (b[None, :] == jnp.arange(
+                        9, dtype=jnp.int32)[:, None]).astype(jnp.int32)
+                    within = jnp.cumsum(oh, axis=1) - 1     # [9, szp]
+                    counts = jnp.sum(oh, axis=1)
+                    offs = jnp.concatenate(
+                        [jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(counts)[:-1]])
+                    pos = offs[b] + jnp.take_along_axis(
+                        within, b[None, :], axis=0)[0]
+                    pre = (jnp.zeros((16, szp), jnp.float32)
+                           .at[:, pos].set(st[:, :szp],
+                                           unique_indices=True))
+                    if szp == n_pad:
+                        return pre
+                    return jnp.concatenate([pre, st[:, szp:]], axis=1)
                 if _exp.get("fake_argsort"):   # timing probe: identity
                     perm = jnp.arange(szp, dtype=jnp.int32)
                 else:
                     perm = jnp.argsort(st[13, :szp].astype(jnp.int32),
                                        stable=True)
                 if szp == n_pad:
-                    return st[:, perm], it[:, perm]
-                return (jnp.concatenate([st[:, :szp][:, perm],
-                                         st[:, szp:]], axis=1),
-                        jnp.concatenate([it[:, :szp][:, perm],
-                                         it[:, szp:]], axis=1))
+                    return st[:, perm]
+                return jnp.concatenate([st[:, :szp][:, perm],
+                                        st[:, szp:]], axis=1)
 
             return branch
 
         def body(carry, depth):
-            st, it, prev = carry
+            st, prev = carry
             if not sort:
                 # unsorted: live lanes are scattered — no compaction
-                st, it, dump = run_call(n_pad, seed, depth[None], st,
-                                        it, tab, tabT)
-                return (st, it, prev), dump
+                st, dump = run_call(n_pad, seed, depth[None], st, tab,
+                                    tabT)
+                return (st, prev), dump
 
-            def do_sort(st, it):
-                st, it = jax.lax.switch(prev, [make_sort_branch(sz)
-                                               for sz in sizes], st, it)
+            def do_sort(st):
+                st = jax.lax.switch(prev, [make_sort_branch(sz)
+                                           for sz in sizes], st)
                 if _exp.get("double_sort"):   # timing probe: the second
                     # pass sorts already-sorted keys (identical work,
                     # image unchanged) -> delta == per-bounce sort cost
-                    st, it = jax.lax.switch(prev, [make_sort_branch(sz)
-                                                   for sz in sizes],
-                                            st, it)
+                    st = jax.lax.switch(prev, [make_sort_branch(sz)
+                                               for sz in sizes], st)
                 live = jnp.sum((st[9] > 0.0).astype(jnp.int32))
                 thresholds = jnp.asarray(sizes, jnp.int32)
                 idx = jnp.clip(jnp.sum(thresholds >= live) - 1, 0,
                                len(sizes) - 1)
-                return st, it, idx
+                return st, idx
 
             if sort_every == 1:
-                st, it, idx = do_sort(st, it)
+                st, idx = do_sort(st)
             else:
                 # unsorted bounce: keep the stale prefix (still a cover
                 # — lanes only die) and skip the argsort + permutes
-                st, it, idx = jax.lax.cond(
+                st, idx = jax.lax.cond(
                     (depth - 1) % sort_every == 0, do_sort,
-                    lambda st, it: (st, it, prev), st, it)
-            st, it, dump = jax.lax.switch(
+                    lambda st: (st, prev), st)
+            st, dump = jax.lax.switch(
                 idx, [make_kernel_branch(sz, depth) for sz in sizes],
-                st, it)
-            return (st, it, idx), dump
+                st)
+            return (st, idx), dump
 
         # depth 0 outside the scan: the primary wavefront's keys are all
         # zero (no sort needed) and every lane is live (no compaction)
-        st, it, dump0 = run_call(n_pad, seed, depth0, st, it, tab, tabT)
-        (st, it, _), dumps = jax.lax.scan(
-            body, (st, it, jnp.int32(0)),
+        st, dump0 = run_call(n_pad, seed, depth0, st, tab, tabT)
+        (st, _), dumps = jax.lax.scan(
+            body, (st, jnp.int32(0)),
             jnp.arange(1, max_depth + 1, dtype=jnp.int32))
         if with_aux:
             dumps = tuple(
@@ -836,7 +862,7 @@ def build_forward_pipeline(scene: Scene, camera, *, samples: int,
                 for d0, ds in zip(dump0, dumps))
         else:
             dumps = ()
-        return st, it, dumps
+        return st, dumps
 
     ctx = dict(H=H, W=W, n_pix=n_pix, pix_count=pix_count, N=N,
                n_pad=n_pad, sizes=sizes, emitter=emitter, tab=tab,
@@ -870,10 +896,10 @@ def make_bounce_path_renderer(scene: Scene, camera, *, samples: int,
 
     @jax.jit
     def _impl(seed, tab):
-        st, it, _ = pipeline(seed, tab)
+        st, _ = pipeline(seed, tab)
         img = jnp.zeros((n_pix, 3), jnp.float32)
-        img = img.at[it[0]].add(st[10:13].T, mode="drop",
-                                unique_indices=False)
+        img = img.at[st[14].astype(jnp.int32)].add(
+            st[10:13].T, mode="drop", unique_indices=False)
         # padding lanes carry pix 0 but zero radiance (thr 0, alive 0)
         return img.reshape(H, W, 3) / np.float32(samples)
 

@@ -88,12 +88,13 @@ def make_bounce_train_core(scene: Scene, camera, *, samples: int,
         else ctx["emitter"][0]
 
     def core(seed, tab, pix_base, target_local):
-        st, it, (aux, pix_d, samp_d) = pipeline(seed, tab,
-                                                pix_base=pix_base)
+        st, (aux, pix_d, samp_d) = pipeline(seed, tab,
+                                            pix_base=pix_base)
 
         # tile image + squared error + per-pixel cotangent
         img = jnp.zeros((pc, 3), jnp.float32)
-        img = img.at[it[0] - pix_base].add(st[10:13].T, mode="drop")
+        img = img.at[st[14].astype(jnp.int32) - pix_base].add(
+            st[10:13].T, mode="drop")
         img = img / np.float32(samples)
         # tiles are padded to equal size: a last-chip tile can reach
         # past the image — those rows must not contribute error

@@ -957,7 +957,19 @@ def _make_regen_body(col, cam, seed, pix, n_pix, T_pad, W, H, samples,
 
 
 def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
-                 light_samples: int, emitter, n_pix: int):
+                 light_samples: int, emitter, n_pix: int,
+                 interleave: int = 1):
+    """interleave=2: TWO independent regenerative bodies per kernel
+    instance (adjacent half-blocks of pixels), jointly advanced under
+    condA | condB — _make_regen_body is a no-op for finished lanes, so
+    the joint while_loop is estimator-exact (bit-identical image). The
+    independent dataflows double the FMA chains the compiler can
+    interleave against the ~5-cycle latency the round-4 floor analysis
+    measured: 1 chain runs at 8.7% of the VPU ceiling in isolation and
+    2 interleaved chains at exactly 2x (exp_r5_mfu_interleave.py);
+    kernel-level the win is ~5% (the [T, RB] sweeps already carry wide
+    ILP) — 62.1M vs 59.1M rays/s on the headline config, with
+    single-body rb=512 at 60.8M ruling out block width as the cause."""
     chunked = T_pad > FUSED_CHUNK
 
     def kernel(cam_ref, seed_ref, base_ref, clo_ref, chi_ref, tri_ref,
@@ -991,20 +1003,39 @@ def _make_kernel(T_pad: int, W: int, H: int, samples: int, max_depth: int,
         # base_ref: this shard's first global pixel (0 single-chip; a
         # chip's tile offset under parallel/fused_shard's ray DP)
         pix0 = pl.program_id(0) * rb + base_ref[0]
-        pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1)
-               + pix0)                                     # [1, RB]
-        in_image = pix < n_pix
+        rb_h = rb // interleave
+        parts = []
+        for h in range(interleave):
+            pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb_h), 1)
+                   + pix0 + h * rb_h)                      # [1, RB/k]
+            body, cond, init = _make_regen_body(
+                col, cam, seed, pix, n_pix, T_pad, W, H, samples,
+                max_depth, light_samples, emitter, col_dyn=col_dyn,
+                chunk_box=chunk_box if chunked else None,
+                blk=blk, blk_dyn=blk_dyn, fast_shadow=True)
+            parts.append((body, cond, init(pix < n_pix)))
+        if interleave == 1:
+            body, cond, init0 = parts[0]
+            carries = [jax.lax.while_loop(cond, body, init0)]
+        else:
+            (bodyA, condA, initA), (bodyB, condB, initB) = parts
+            nA = len(initA)
 
-        body, cond, init = _make_regen_body(
-            col, cam, seed, pix, n_pix, T_pad, W, H, samples, max_depth,
-            light_samples, emitter, col_dyn=col_dyn,
-            chunk_box=chunk_box if chunked else None,
-            blk=blk, blk_dyn=blk_dyn, fast_shadow=True)
-        carry = jax.lax.while_loop(cond, body, init(in_image))
+            def body2(c):
+                return tuple(bodyA(c[:nA])) + tuple(bodyB(c[nA:]))
+
+            def cond2(c):
+                return condA(c[:nA]) | condB(c[nA:])
+
+            joint = jax.lax.while_loop(cond2, body2,
+                                       tuple(initA) + tuple(initB))
+            carries = [joint[:nA], joint[nA:]]
         inv_s = np.float32(1.0 / samples)
-        out_ref[0:1, :] = carry[9] * inv_s
-        out_ref[1:2, :] = carry[10] * inv_s
-        out_ref[2:3, :] = carry[11] * inv_s
+        for h, carry in enumerate(carries):
+            sl = pl.ds(h * rb_h, rb_h)
+            out_ref[0:1, sl] = carry[9] * inv_s
+            out_ref[1:2, sl] = carry[10] * inv_s
+            out_ref[2:3, sl] = carry[11] * inv_s
         out_ref[3:8, :] = jnp.zeros((5, rb), jnp.float32)
 
     return kernel
@@ -1049,14 +1080,14 @@ def seed_scalar(key) -> jax.Array:
 def build_fused_call(T_pad: int, W: int, H: int, samples: int,
                      max_depth: int, light_samples: int, emitter,
                      n_pix: int, n_pad: int, ray_block: int,
-                     interpret: bool):
+                     interpret: bool, interleave: int = 1):
     """The raw megakernel call: (cam_vec [12], seed [1], pix_base [1],
     tab [T_pad, 32]) -> [8, n_pad] radiance planes for the n_pad lanes
     starting at global pixel pix_base. make_fused_path_renderer wraps it
     for the whole image (pix_base 0); parallel/fused_shard sizes n_pad to
     a chip's tile and passes each shard's offset."""
     kernel = _make_kernel(T_pad, W, H, samples, max_depth, light_samples,
-                          emitter, n_pix)
+                          emitter, n_pix, interleave=interleave)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_pad // ray_block,),
@@ -1075,22 +1106,27 @@ def build_fused_call(T_pad: int, W: int, H: int, samples: int,
 def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
                              max_depth: int, light_samples: int = 2,
                              ray_block: int = RAY_BLOCK,
+                             interleave: int = 2,
                              interpret: bool | None = None):
     """Build `fn(key) -> [H, W, 3]` rendering the scene with the megakernel.
 
     The scene/camera geometry is baked at build time (emitter triangles
     become kernel constants); `key` seeds the in-kernel PCG stream, so
     repeated calls with different keys give independent estimators.
+
+    interleave=2 (default): two independent half-block regen bodies per
+    kernel instance, bit-identical image, measured +5% on the headline
+    config (see _make_kernel).
     """
     if not fused_path_supported(scene):
         raise ValueError("scene outside the fused-path gate "
                          "(textures / emitters / size)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    rb = ray_block * interleave
     H, W = camera.yres, camera.xres
     n_pix = H * W
-    n_pad = ((max(n_pix, ray_block) + ray_block - 1)
-             // ray_block) * ray_block
+    n_pad = ((max(n_pix, rb) + rb - 1) // rb) * rb
 
     tab_np = pack_fused_tri_table(scene)
     lo, hi = fused_chunk_bounds(scene)
@@ -1101,7 +1137,8 @@ def make_fused_path_renderer(scene: Scene, camera, *, samples: int,
 
     cam_vec = camera_vec(camera)
     call = build_fused_call(T_pad, W, H, samples, max_depth, light_samples,
-                            emitter, n_pix, n_pad, ray_block, interpret)
+                            emitter, n_pix, n_pad, rb, interpret,
+                            interleave=interleave)
     zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit

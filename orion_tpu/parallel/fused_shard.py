@@ -223,11 +223,12 @@ def make_bounce_render_sharded(scene: Scene, camera, *, samples: int,
 
     def shard_fn(seed):
         base = (jax.lax.axis_index(AXIS) * per).astype(jnp.int32)
-        st, it, _ = pipeline(seed, tab0, pix_base=base)
+        st, _ = pipeline(seed, tab0, pix_base=base)
         img = jnp.zeros((per, 3), jnp.float32)
         # padding lanes ride pixel id 0: for chips past the first that
         # is out of tile (dropped); for chip 0 it adds zero radiance
-        img = img.at[it[0] - base].add(st[10:13].T, mode="drop")
+        img = img.at[st[14].astype(jnp.int32) - base].add(
+            st[10:13].T, mode="drop")
         return img
 
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=P(),
