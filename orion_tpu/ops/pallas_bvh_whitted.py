@@ -209,7 +209,8 @@ def _deferred_planes(with_emissive):
     return build, _N_PICKS_DEF + (4 if with_emissive else 0)
 
 
-def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
+def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None,
+               octant_copies: int = 1):
     """Closest-hit walk with in-leaf winner attribute picking.
 
     node: dict of scalar-prefetch refs (lox..loz, hix..hiz, skip, start).
@@ -218,11 +219,31 @@ def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
     Returns closest(o, d, lane_alive) ->
         (t [1,RB], hit [1,RB], picks [list of N [1,RB] planes])
     and occluded(o, d, need) -> [1,RB] bool (any-hit walk).
-    """
+
+    octant_copies=8: node arrays hold 8 per-octant flattenings of the
+    one tree (pallas_bvh_path.reflatten_octant); each walk majority-
+    votes its block's direction octant and runs the copy ordered
+    near-first for it — primaries already get this from the baked
+    camera order_signs, so the per-octant copies pay off on the SHADOW
+    and mirror-bounce walks, whose directions the camera bake cannot
+    serve (proven +5% end-to-end on the bounce pipeline, round 5).
+    For the any-hit walk near-first means occluders are found sooner,
+    so the all-settled early exit fires earlier."""
     if plane_spec is None:
         plane_spec = _solid_planes(with_emissive)
     build_planes, n_picks = plane_spec
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (LEAF_WIDTH, 1), 0)
+    M_per = M // octant_copies
+
+    def _walk_range(d):
+        if octant_copies == 1:
+            return jnp.int32(0), jnp.int32(M)
+        votes = [jnp.sum(jnp.where(c >= 0.0, 1.0, -1.0)) for c in d]
+        o = ((votes[0] >= 0.0).astype(jnp.int32)
+             + 2 * (votes[1] >= 0.0).astype(jnp.int32)
+             + 4 * (votes[2] >= 0.0).astype(jnp.int32))
+        base = o * np.int32(M_per)
+        return base, base + np.int32(M_per)
 
     def _slab(ptr, o, inv, t_b):
         lo = (node["lox"][ptr], node["loy"][ptr], node["loz"][ptr])
@@ -313,8 +334,9 @@ def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             return (ptr,) + state
 
-        init = (jnp.int32(0), t0) + tuple(zero for _ in range(n_picks))
-        out = jax.lax.while_loop(lambda c: c[0] < M, body, init)
+        base, end = _walk_range(d)
+        init = (base, t0) + tuple(zero for _ in range(n_picks))
+        out = jax.lax.while_loop(lambda c: c[0] < end, body, init)
         t_b = out[1]
         hit = (t_b < _BIG) & lane_alive
         return jnp.where(hit, t_b, _BIG), hit, list(out[2:])
@@ -347,19 +369,20 @@ def _make_walk(node, tab_ref, M, with_emissive, plane_spec=None):
             descend = any_lane & jnp.logical_not(is_leaf)
             ptr = jnp.where(descend, ptr + 1, node["skip"][ptr])
             settled = jnp.maximum(occ, 1.0 - need_f)
-            ptr = jnp.where(jnp.all(settled > 0.0), jnp.int32(M), ptr)
+            ptr = jnp.where(jnp.all(settled > 0.0), end, ptr)
             return ptr, occ
 
+        base, end = _walk_range(d)
         occ0 = jnp.zeros((1, rb), jnp.float32)
-        _, occ = jax.lax.while_loop(lambda c: c[0] < M, body,
-                                    (jnp.int32(0), occ0))
+        _, occ = jax.lax.while_loop(lambda c: c[0] < end, body,
+                                    (base, occ0))
         return occ > 0.0
 
     return closest, occluded
 
 
 def _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
-                 with_emissive):
+                 with_emissive, octant_copies: int = 1):
     n_lights, l_pos, l_color, l_inten = lights
 
     def kernel(cam_ref, seed_ref, base_ref, n_lox, n_loy, n_loz,
@@ -377,7 +400,8 @@ def _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
         pix = (jax.lax.broadcasted_iota(jnp.int32, (1, rb), 1) + pix0)
         in_image = pix < n_pix
 
-        closest, occluded = _make_walk(node, tab_ref, M, with_emissive)
+        closest, occluded = _make_walk(node, tab_ref, M, with_emissive,
+                                       octant_copies=octant_copies)
         primary = _make_primary(cam, seed, pix, W, H)
         S = jnp.int32(samples)
 
@@ -489,13 +513,14 @@ def _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
 
 
 def build_bvh_whitted_call(M, W, H, samples, max_depth, lights, n_pix,
-                           with_emissive, n_pad, ray_block, interpret):
+                           with_emissive, n_pad, ray_block, interpret,
+                           octant_copies: int = 1):
     """The raw megakernel call: (cam_vec [12], seed [1], pix_base [1],
     *node_scalars [8 arrays], tab [40, B_pad]) -> [8, n_pad] radiance
     planes for the lanes starting at global pixel pix_base (ray-DP
     sharding passes per-chip offsets, parallel/fused_shard)."""
     kernel = _make_kernel(M, W, H, samples, max_depth, lights, n_pix,
-                          with_emissive)
+                          with_emissive, octant_copies=octant_copies)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=11,
         grid=(n_pad // ray_block,),
@@ -511,11 +536,47 @@ def build_bvh_whitted_call(M, W, H, samples, max_depth, lights, n_pix,
     )
 
 
+
+
+def _octant_node_scalars(bvh, octants: int):
+    """Node scalar arrays for the kernels: the tree's own flattening
+    (octants=1) or `octants` concatenated per-octant reflattenings
+    (pallas_bvh_path.reflatten_octant; shared bundled table)."""
+    if octants == 1:
+        n_lo, n_hi = np.asarray(bvh.node_lo), np.asarray(bvh.node_hi)
+        n_skip = np.asarray(bvh.node_skip)
+        n_start = np.asarray(bvh.node_start)
+    else:
+        from orion_tpu.ops.pallas_bvh_path import reflatten_octant
+
+        copies = []
+        for o in range(octants):
+            signs = tuple(1.0 if (o >> a) & 1 else -1.0
+                          for a in range(3))
+            copies.append(reflatten_octant(
+                bvh.node_lo, bvh.node_hi, bvh.node_skip,
+                bvh.node_start, signs))
+        Mp = copies[0][0].shape[0]
+        n_lo = np.concatenate([c[0] for c in copies])
+        n_hi = np.concatenate([c[1] for c in copies])
+        n_skip = np.concatenate(
+            [c[2] + np.int32(i * Mp) for i, c in enumerate(copies)])
+        n_start = np.concatenate([c[3] for c in copies])
+    scalars = tuple(
+        [jnp.asarray(n_lo[:, i]) for i in range(3)]
+        + [jnp.asarray(n_hi[:, i]) for i in range(3)]
+        + [jnp.asarray(n_skip), jnp.asarray(n_start)])
+    return scalars, int(n_lo.shape[0])
+
 def bvh_whitted_device_data(scene: Scene, *, strategy: str = SAH,
                             order_signs=(1.0, 1.0, 1.0),
-                            check_cap: bool = True, textured: bool = False):
+                            check_cap: bool = True, textured: bool = False,
+                            octants: int = 1):
     """(node_scalars tuple, tab, num_nodes): the replicated device inputs
-    every chip's kernel shares."""
+    every chip's kernel shares. octants=8 emits 8 concatenated
+    per-octant flattenings (shared bundled table); num_nodes is then
+    the total length — pass the matching octant_copies to the
+    kernels."""
     bvh, _ = build_bvh(np.asarray(scene.tri_v0), np.asarray(scene.tri_e1),
                        np.asarray(scene.tri_e2),
                        np.asarray(scene.tri_valid), strategy=strategy,
@@ -526,17 +587,15 @@ def bvh_whitted_device_data(scene: Scene, *, strategy: str = SAH,
             f"{bvh.num_bundled} bundled rows exceed the attr-table "
             f"residency cap ({RESIDENT_MAX_BUNDLED})")
     tab = jnp.asarray(pack_bvh_attr_table(bvh, scene, textured=textured))
-    node_scalars = tuple(
-        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
-    return node_scalars, tab, bvh.num_nodes
+    node_scalars, total = _octant_node_scalars(bvh, octants)
+    return node_scalars, tab, total
 
 
 def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
                               max_depth: int, strategy: str = SAH,
                               ray_block: int = RAY_BLOCK,
                               order_signs=(1.0, 1.0, 1.0),
+                              octant_trees: bool = False,
                               interpret: bool | None = None):
     """Build `fn(key) -> [H, W, 3]`: the whole Whitted render (all
     samples, all bounces, all shadow rays) in one BVH megakernel launch.
@@ -554,15 +613,17 @@ def make_bvh_whitted_renderer(scene: Scene, camera, *, samples: int,
     n_pad = ((max(n_pix, ray_block) + ray_block - 1)
              // ray_block) * ray_block
 
+    octant_copies = 8 if octant_trees else 1
     node_scalars, tab, num_nodes = bvh_whitted_device_data(
         scene, strategy=strategy, order_signs=order_signs,
-        check_cap=not interpret)
+        check_cap=not interpret, octants=octant_copies)
     lights = _lights_consts(scene)
     with_em = scene.num_emissive > 0
     cam_v = camera_vec(camera)
     call = build_bvh_whitted_call(num_nodes, W, H, samples, max_depth,
                                   lights, n_pix, with_em, n_pad,
-                                  ray_block, interpret)
+                                  ray_block, interpret,
+                                  octant_copies=octant_copies)
     zero_base = jnp.zeros((1,), jnp.int32)
 
     @jax.jit
@@ -626,7 +687,7 @@ def bvh_whitted_deferred_supported(scene: Scene, max_depth: int) -> bool:
 
 
 def _make_deferred_kernel(M, W, H, sample_chunk, max_depth, lights,
-                          n_pix, with_emissive):
+                          n_pix, with_emissive, octant_copies: int = 1):
     n_lights, l_pos, l_color, l_inten = lights
     D1 = max_depth + 1
 
@@ -649,7 +710,8 @@ def _make_deferred_kernel(M, W, H, sample_chunk, max_depth, lights,
 
         closest, occluded = _make_walk(
             node, tab_ref, M, with_emissive,
-            plane_spec=_deferred_planes(with_emissive))
+            plane_spec=_deferred_planes(with_emissive),
+            octant_copies=octant_copies)
         primary = _make_primary(cam, seed, pix, W, H)
         zeros = jnp.zeros((1, rb), jnp.float32)
 
@@ -752,6 +814,7 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
                               max_depth: int = 0, strategy: str = SAH,
                               ray_block: int = RAY_BLOCK,
                               order_signs=(1.0, 1.0, 1.0),
+                              octant_trees: bool = False,
                               interpret: bool | None = None):
     """Build `fn(key) -> [H, W, 3]`: the textured Whitted render as BVH
     megakernel launches plus a texture-resolve epilogue (deferred
@@ -781,10 +844,8 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
              // ray_block) * ray_block
 
     tab = jnp.asarray(pack_bvh_attr_table(bvh, scene, textured=True))
-    node_scalars = tuple(
-        [jnp.asarray(bvh.node_lo[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_hi[:, i]) for i in range(3)]
-        + [jnp.asarray(bvh.node_skip), jnp.asarray(bvh.node_start)])
+    octant_copies = 8 if octant_trees else 1
+    node_scalars, num_nodes = _octant_node_scalars(bvh, octant_copies)
     lights = _lights_consts(scene)
     D1 = max_depth + 1
     # chunk the sample loop so the per-launch record buffer stays
@@ -797,9 +858,10 @@ def make_bvh_whitted_deferred(scene: Scene, camera, *, samples: int,
     zero_base = jnp.zeros((1,), jnp.int32)
 
     def _make_call(chunk):
-        kernel = _make_deferred_kernel(bvh.num_nodes, W, H, chunk,
+        kernel = _make_deferred_kernel(num_nodes, W, H, chunk,
                                        max_depth, lights, n_pix,
-                                       scene.num_emissive > 0)
+                                       scene.num_emissive > 0,
+                                       octant_copies=octant_copies)
         out_rows = chunk * D1 * _REC_ROWS
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=12,

@@ -123,3 +123,51 @@ def test_camera_override(cornell):
         cam, origin=tuple(np.asarray(cam.origin) + np.float32(0.1)))
     b = np.asarray(fn(jax.random.key(0), camera_override=moved))
     assert not np.allclose(a, b)
+
+
+def test_reflatten_octant_structure(cornell):
+    """Every per-octant flattening (round 5) is a VALID skip-pointer
+    tree over the SAME nodes and leaves: identical multiset of
+    (lo, hi, start), consistent skip pointers (DFS subtrees stay
+    contiguous), and near-first ordering actually flips children
+    between opposite octants."""
+    from orion_tpu.accel.bvh import SAH, build_bvh
+    from orion_tpu.ops.pallas_bvh_path import reflatten_octant
+    from orion_tpu.scene import subdivide_scene
+
+    scene, _ = cornell
+    scene = subdivide_scene(scene, levels=2)
+    bvh, _ = build_bvh(np.asarray(scene.tri_v0),
+                       np.asarray(scene.tri_e1),
+                       np.asarray(scene.tri_e2),
+                       np.asarray(scene.tri_valid), strategy=SAH,
+                       leaf_size=64, leaf_width=64)
+    lo, hi = np.asarray(bvh.node_lo), np.asarray(bvh.node_hi)
+    skip, start = np.asarray(bvh.node_skip), np.asarray(bvh.node_start)
+    M = lo.shape[0]
+
+    def canon(lo_, hi_, start_):
+        rows = np.concatenate([lo_, hi_, start_[:, None]], axis=1)
+        return np.sort(rows.view([("", rows.dtype)] * rows.shape[1]),
+                       axis=0)
+
+    base = canon(lo, hi, start)
+    orders = []
+    for o in range(8):
+        signs = tuple(1.0 if (o >> a) & 1 else -1.0 for a in range(3))
+        lo2, hi2, skip2, start2 = reflatten_octant(lo, hi, skip, start,
+                                                   signs)
+        assert lo2.shape[0] == M
+        # same node multiset
+        np.testing.assert_array_equal(canon(lo2, hi2, start2), base)
+        # structural validity: root covers all; every internal node's
+        # first child is the next slot; skips are increasing and bounded
+        assert skip2[0] == M
+        for i in range(M):
+            assert i < skip2[i] <= M
+            if start2[i] < 0:            # internal: subtree has >= 2 slots
+                assert skip2[i] > i + 1
+        orders.append(start2.copy())
+    # opposite octants must order some children differently
+    assert any(not np.array_equal(orders[0], orders[7])
+               for _ in range(1)), "octant 0 and 7 emitted identically"
