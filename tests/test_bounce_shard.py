@@ -84,6 +84,39 @@ def test_sharded_bounce_render_uneven_tiles(subdiv_scene):
         np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_textured_bounce_matches_single_chip(subdiv_scene):
+    """Textured path + ray DP compose: the per-bounce texel resolve is
+    chip-local (winner rows, uv interp, atlas gathers all per tile)."""
+    import dataclasses
+
+    from orion_tpu.ops.pallas_bounce import make_bounce_path_renderer
+
+    scene, r = subdiv_scene
+    T = int(np.asarray(scene.tri_v0).shape[0])
+    tex = np.zeros((4, 4, 3), np.float32)
+    tex[::2, ::2] = (0.9, 0.4, 0.2)
+    tex[1::2, 1::2] = (0.2, 0.4, 0.9)
+    rng = np.random.default_rng(1)
+    uv = rng.random((T, 2), np.float32) * 2 - 0.5
+    M = int(np.asarray(scene.mat_diffuse).shape[0])
+    scene = dataclasses.replace(
+        scene,
+        tex_atlas=jnp.asarray(tex),
+        tex_off=jnp.zeros((1, 2), jnp.int32),
+        tex_hw=jnp.asarray([[4, 4]], jnp.int32),
+        mat_map_diffuse=jnp.zeros(M, jnp.int32),
+        uv0=jnp.asarray(uv), uv1=jnp.asarray(uv + 0.2),
+        uv2=jnp.asarray(uv + 0.4))
+    cam = _cam(r, 32)
+    key = jax.random.key(9)
+    single = np.asarray(make_bounce_path_renderer(
+        scene, cam, samples=2, max_depth=3)(key))
+    sharded = np.asarray(make_bounce_render_sharded(
+        scene, cam, samples=2, max_depth=3,
+        devices=jax.devices()[:4])(key))
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_bounce_prb_matches_single_chip(subdiv_scene):
     from orion_tpu.ops.pallas_bounce_prb import make_bounce_train_step
 
