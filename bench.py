@@ -690,6 +690,55 @@ def cfg_prb_train_subdiv35k():
     return best
 
 
+def cfg_cornell_whitted_train_256():
+    """Whitted-mode closed-form training (VERDICT r4 #8,
+    ops/prb_whitted.py): one MSE train step — forward Phong chain +
+    division-free closed-form backward over the dumped coefficient
+    planes — on the cornell with its commented-out point light
+    re-enabled, differentiating all four material tables at once."""
+    import dataclasses
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from orion_tpu.engine import prepare
+    from orion_tpu.ops.prb_whitted import make_whitted_train_step
+
+    xres = yres = 256
+    samples, depth = 4, 1
+    ps = prepare(f"{ASSETS}/cornell-box.rtc", xres=xres, yres=yres)
+    pos, color, intensity = ((0.0, 2.5, 3.0),
+                             (100 / 255, 100 / 255, 100 / 255), 32.0)
+    scene = dataclasses.replace(
+        ps.scene,
+        light_pos=jnp.asarray([pos], jnp.float32),
+        light_color=jnp.asarray([color], jnp.float32),
+        light_intensity=jnp.asarray([intensity], jnp.float32),
+        num_lights=1)
+    target = jnp.zeros((yres, xres, 3), jnp.float32)
+    step = make_whitted_train_step(scene, ps.camera, target,
+                                   samples=samples, max_depth=depth,
+                                   intersect=ps.intersect,
+                                   shadow_intersect=ps.shadow_intersect)
+    params = {k: getattr(scene, k)
+              for k in ("mat_diffuse", "mat_specular", "mat_ambient",
+                        "mat_emissive")}
+    key = jax.random.key(0)
+    loss, g = step(params, key)
+    _ = float(loss) + float(jnp.sum(g["mat_diffuse"]))
+    t0 = _t.perf_counter()
+    iters = 5
+    for _i in range(iters):
+        loss, g = step(params, key)
+    _ = float(loss) + float(jnp.sum(g["mat_diffuse"]))
+    dt = (_t.perf_counter() - t0) / iters
+    primary = xres * yres * samples
+    return {"backend": "whitted-closed-form+" + ps.backend,
+            "params": sorted(params), "seconds": round(dt, 4),
+            "fwd_bwd_primary_rays_per_s": round(primary / dt, 1)}
+
+
 def cfg_vertex_train_subdiv35k():
     """Geometry-gradient training at scale (VERDICT r4 next #5): one
     vertex-parameter train step — forward render + backward to tri_v0 —
@@ -763,6 +812,7 @@ CONFIGS = {
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
     "cornell_prb_train_256_4spp": (cfg_cornell_prb_train_256_4spp, 900),
+    "cornell_whitted_train_256_4spp": (cfg_cornell_whitted_train_256, 600),
     "scaling_weak_1chip": (cfg_scaling_weak_1chip, 900),
     "synthetic_200k_whitted_512": (cfg_synthetic_200k_whitted_512, 1200),
 }
@@ -786,7 +836,8 @@ BATCHES = [
      "vertex_train_subdiv35k_256"],
     ["cornell_whitted_256_1spp", "view_test_whitted_512_4spp",
      "nanosuit_ref_400x600", "cornell_fwdbwd_256_4spp",
-     "cornell_prb_train_256_4spp"],                   # the sub-second five
+     "cornell_prb_train_256_4spp",
+     "cornell_whitted_train_256_4spp"],               # the sub-second six
     ["cornell_prb_train_fhd_4spp", "cornell_fhd_path_d100"],
     ["nanosuit_whitted_1024_64spp", "nanosuit_untextured_1024_64spp"],
     ["cornell_subdiv2k_path_512_16spp", "scaling_weak_1chip"],
