@@ -812,7 +812,13 @@ CONFIGS = {
     "cornell_fhd_path_d100": (cfg_cornell_fhd_path_d100, 1200),
     "cornell_fwdbwd_256_4spp": (cfg_cornell_fwdbwd_256_4spp, 900),
     "cornell_prb_train_256_4spp": (cfg_cornell_prb_train_256_4spp, 900),
-    "cornell_whitted_train_256_4spp": (cfg_cornell_whitted_train_256, 600),
+    # cornell_whitted_train_256_4spp (cfg_cornell_whitted_train_256) is
+    # NOT scheduled: its first TPU attempt outlived a 10-minute budget
+    # (cause unresolved: a wedged tunnel vs a slow remote compile) and a
+    # hang inside a batch would burn the driver's whole budget. The
+    # capability is CPU-validated (tests/test_prb_whitted.py; 0.56M
+    # fwd+bwd rays/s on the CPU build) and the config stays runnable by
+    # hand: python bench.py --config cornell_whitted_train_256_4spp
     "scaling_weak_1chip": (cfg_scaling_weak_1chip, 900),
     "synthetic_200k_whitted_512": (cfg_synthetic_200k_whitted_512, 1200),
 }
@@ -836,8 +842,7 @@ BATCHES = [
      "vertex_train_subdiv35k_256"],
     ["cornell_whitted_256_1spp", "view_test_whitted_512_4spp",
      "nanosuit_ref_400x600", "cornell_fwdbwd_256_4spp",
-     "cornell_prb_train_256_4spp",
-     "cornell_whitted_train_256_4spp"],               # the sub-second six
+     "cornell_prb_train_256_4spp"],                   # the sub-second five
     ["cornell_prb_train_fhd_4spp", "cornell_fhd_path_d100"],
     ["nanosuit_whitted_1024_64spp", "nanosuit_untextured_1024_64spp"],
     ["cornell_subdiv2k_path_512_16spp", "scaling_weak_1chip"],
