@@ -27,7 +27,8 @@ from orion_tpu.render import IntersectFn, render
 from orion_tpu.scene import Scene
 
 # parameters that are physically meaningful in [0, 1]
-UNIT_INTERVAL_PARAMS = ("mat_diffuse", "mat_specular", "mat_ambient")
+UNIT_INTERVAL_PARAMS = ("mat_diffuse", "mat_specular", "mat_ambient",
+                        "tex_atlas")
 
 DEFAULT_PARAMS = ("mat_diffuse",)
 
