@@ -85,13 +85,13 @@ def main():
     # --- scaffold: both kernels -> identity (gather still runs) ---
     with mock.patch.object(
             pb, "build_walk_call",
-            lambda num_nodes, n_pad, rb, interp:
-            lambda *rest: jnp.zeros((8, rest[-2].shape[1]),
+            lambda num_nodes, n_pad, rb, interp, grid_sz=None, **kw:
+            lambda *rest: jnp.zeros((8, grid_sz or n_pad),
                                     jnp.float32)), \
             mock.patch.object(
                 pb, "build_shade_call",
-                lambda *a, **k: lambda seed, depth, *rest: (rest[-5],
-                                                            rest[-4])):
+                lambda *a, **k: lambda seed, depth, *rest:
+                (rest[8],)):   # identity: return the state operand
         dt_sc, _ = timeit(build(scene, cam), key)
     print(f"scaffold:  {dt_sc:.3f}s  (sort+permute+gather+switch+scatter)",
           flush=True)
