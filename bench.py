@@ -920,6 +920,20 @@ def _run_subprocess(names):
     return results
 
 
+def compute_batches():
+    """The post-headline schedule: BATCHES filtered to known configs,
+    then a catch-all for anything new in CONFIGS that isn't explicitly
+    parked in UNSCHEDULED (canary + HEADLINE run before the batches)."""
+    scheduled = {HEADLINE, "canary"}
+    batches = [[n for n in b if n in CONFIGS and n not in scheduled]
+               for b in BATCHES]
+    for b in batches:
+        scheduled.update(b)
+    batches.append([n for n in CONFIGS
+                    if n not in scheduled and n not in UNSCHEDULED])
+    return batches
+
+
 def _emit_headline(headline):
     rays_per_s = headline.get("primary_rays_per_s", 0.0)
     print(json.dumps({
@@ -1020,15 +1034,7 @@ def main():
     # must not be able to take it down
     _emit_headline(headline)
 
-    scheduled = {HEADLINE, "canary"}
-    batches = [[n for n in b if n in CONFIGS and n not in scheduled]
-               for b in BATCHES]
-    for b in batches:
-        scheduled.update(b)
-    # anything new in CONFIGS but not yet in BATCHES still runs
-    batches.append([n for n in CONFIGS
-                    if n not in scheduled and n not in UNSCHEDULED])
-    for batch in batches:
+    for batch in compute_batches():
         if not batch:
             continue
         gap()

@@ -48,15 +48,24 @@ def test_unscheduled_subset_of_configs(bench):
 
 
 def test_every_config_scheduled_or_explicitly_parked(bench):
-    """Replicates main()'s schedule: headline + batches + catch-all.
-    Every config must either run or sit in UNSCHEDULED on purpose."""
-    scheduled = {bench.HEADLINE, "canary"}
-    for b in bench.BATCHES:
-        scheduled.update(n for n in b if n in bench.CONFIGS)
-    catch_all = {n for n in bench.CONFIGS
-                 if n not in scheduled and n not in bench.UNSCHEDULED}
-    covered = scheduled | catch_all | bench.UNSCHEDULED
-    assert covered >= set(bench.CONFIGS)
+    """main()'s actual schedule (compute_batches): every config must
+    either run or sit in UNSCHEDULED on purpose."""
+    ran = {bench.HEADLINE, "canary"}
+    for b in bench.compute_batches():
+        ran.update(b)
+    assert ran | bench.UNSCHEDULED >= set(bench.CONFIGS)
+
+
+def test_unscheduled_excluded_from_schedule(bench, monkeypatch):
+    """Parking a config in UNSCHEDULED keeps it out of compute_batches'
+    catch-all, while an unparked new config still gets picked up."""
+    parked, picked = "_parked_for_test", "_new_for_test"
+    monkeypatch.setitem(bench.CONFIGS, parked, (lambda: {}, 60))
+    monkeypatch.setitem(bench.CONFIGS, picked, (lambda: {}, 60))
+    monkeypatch.setattr(bench, "UNSCHEDULED", {parked})
+    flat = [n for b in bench.compute_batches() for n in b]
+    assert parked not in flat
+    assert picked in flat
 
 
 def test_config_timeouts_positive(bench):
